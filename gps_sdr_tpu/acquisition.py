@@ -137,9 +137,17 @@ def fine_doppler(long_signal: np.ndarray, prn: int, code_delay: int,
     L = acq.fine_fft_ms
     n = L * S
     k = np.arange(1, n + 1, dtype=np.float64)
-    chip = np.floor(k * sig.code_freq_basis / sig.fs).astype(np.int64) % CODE_LENGTH
+    # ceil-based resampling like the rest of the receiver; the reference's
+    # floor((k·fchip)/fs)+1 (acquisition.m:104-105) agrees except when
+    # fs/fchip is an exact integer ratio, where floor lands on chip
+    # boundaries and misaligns the replica by one sample per chip.
+    chip = (np.ceil(k * sig.code_freq_basis / sig.fs).astype(np.int64) - 1
+            ) % CODE_LENGTH
     code = ca_code_table()[prn - 1][chip]
-    start = S - int(code_delay) - 1  # 0-based (acquisition.m:106)
+    # 0-based sample of the first code epoch after the first ms
+    # (acquisition.m:106; validated against synthetic truth — the epoch
+    # lands at S − codedelay in this pipeline's 0-based convention)
+    start = S - int(code_delay)
     seg = np.asarray(long_signal[start:start + n], dtype=np.complex64) * code
     fftlen = n * acq.n_noncoherent_ms
     spec = jnp.abs(jnp.fft.fft(jnp.asarray(seg), fftlen))

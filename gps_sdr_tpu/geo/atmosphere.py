@@ -100,6 +100,17 @@ def _unb3_surface(doy, lat_deg, alt_m):
     return t, t0, p, wvp, beta, lam
 
 
+def tropo_hopfield_delay(el_deg, h_m=0.0):
+    """Hopfield dry-component troposphere (geo/tropocorr.m) — the unused
+    alternate model the reference ships; kept for capability parity."""
+    el = jnp.deg2rad(jnp.asarray(el_deg, jnp.float64))
+    # standard atmosphere at height h
+    p = 1013.25 * (1.0 - 2.2557e-5 * h_m) ** 5.2568
+    t = 288.15 - 6.5e-3 * h_m
+    kd = 1.55208e-4 * p * (40136.0 + 148.72 * (t - 273.16)) / t
+    return kd / jnp.sin(jnp.sqrt(el * el + 1.904e-3))
+
+
 def tropo_unb3_delay(doy, lat_deg, alt_m, el_deg):
     """UNB3 tropospheric delay [m]: Saastamoinen zenith × Black&Eisner map.
 

@@ -100,6 +100,12 @@ def _split(q: int, msb_width: int, lsb_width: int):
 PI = 3.1415926535898  # GPS pi
 
 
+def _wrap_semicircle(angle_rad: float) -> float:
+    """Wrap an angle into [−π, π) — broadcast angles are signed
+    semicircles; values outside the range must wrap, not clamp."""
+    return (angle_rad + PI) % (2.0 * PI) - PI
+
+
 def subframe_source_bits(sf_id: int, tow_s: float, eph: Dict[str, float],
                          weeknum: int) -> np.ndarray:
     """300 source bits (pre-parity, pre-inversion) for one subframe.
@@ -130,7 +136,7 @@ def subframe_source_bits(sf_id: int, tow_s: float, eph: Dict[str, float],
         _put(b, 61, 8, int(eph.get("iode", 0)))
         _put(b, 69, 16, _quant(eph["crs"], -5, 16, True))
         _put(b, 91, 16, _quant(eph["deltan"], -43, 16, True, PI))
-        m0 = _quant(eph["m0"], -31, 32, True, PI)
+        m0 = _quant(_wrap_semicircle(eph["m0"]), -31, 32, True, PI)
         msb, lsb = _split(m0, 8, 24)
         _put(b, 107, 8, msb); _put(b, 121, 24, lsb)
         _put(b, 151, 16, _quant(eph["cuc"], -29, 16, True))
@@ -144,7 +150,7 @@ def subframe_source_bits(sf_id: int, tow_s: float, eph: Dict[str, float],
         _put(b, 271, 16, _quant(eph["toe"], 4, 16, False))
     elif sf_id == 3:
         _put(b, 61, 16, _quant(eph["cic"], -29, 16, True))
-        om0 = _quant(eph["omega0"], -31, 32, True, PI)
+        om0 = _quant(_wrap_semicircle(eph["omega0"]), -31, 32, True, PI)
         msb, lsb = _split(om0, 8, 24)
         _put(b, 77, 8, msb); _put(b, 91, 24, lsb)
         _put(b, 121, 16, _quant(eph["cis"], -29, 16, True))
@@ -152,7 +158,7 @@ def subframe_source_bits(sf_id: int, tow_s: float, eph: Dict[str, float],
         msb, lsb = _split(i0, 8, 24)
         _put(b, 137, 8, msb); _put(b, 151, 24, lsb)
         _put(b, 181, 16, _quant(eph["crc"], -5, 16, True))
-        w = _quant(eph["w"], -31, 32, True, PI)
+        w = _quant(_wrap_semicircle(eph["w"]), -31, 32, True, PI)
         msb, lsb = _split(w, 8, 24)
         _put(b, 197, 8, msb); _put(b, 211, 24, lsb)
         _put(b, 241, 24, _quant(eph["omegadot"], -43, 24, True, PI))

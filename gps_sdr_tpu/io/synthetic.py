@@ -131,17 +131,18 @@ class GeometrySignal:
                                  for k in Ephemeris._fields})
             for sv in self.svs}
 
-    def _atmos_delay_s(self, sv_pos: np.ndarray, tow: float) -> float:
+    def _atmos_delay_s(self, sv_pos: np.ndarray, tow: np.ndarray) -> np.ndarray:
+        """Vectorized Klobuchar + UNB3 group delay [s] for (T,3)/(T,) inputs."""
         if not self.atmosphere:
-            return 0.0
+            return np.zeros(np.shape(tow))
         from gps_sdr_tpu.geo.atmosphere import klobuchar_delay, tropo_unb3_delay
         from gps_sdr_tpu.geo.coords import xyz2llh, elevation_azimuth
-        iono = float(klobuchar_delay(tow, sv_pos, self.usr,
-                                     self.iono_alpha, self.iono_beta))
+        iono = np.asarray(klobuchar_delay(tow, sv_pos, self.usr,
+                                          self.iono_alpha, self.iono_beta))
         llh = np.asarray(xyz2llh(self.usr))
         el, _ = elevation_azimuth(sv_pos, self.usr)
-        tropo = abs(float(tropo_unb3_delay(self.doy, np.rad2deg(llh[0]),
-                                           llh[2], np.rad2deg(el))))
+        tropo = np.abs(np.asarray(tropo_unb3_delay(
+            self.doy, np.rad2deg(llh[0]), llh[2], np.rad2deg(np.asarray(el)))))
         return (iono + tropo) / C_LIGHT
 
     def sv_clock_delta(self, prn: int, tau_rel: np.ndarray) -> np.ndarray:
@@ -158,10 +159,15 @@ class GeometrySignal:
         for _ in range(3):
             out = sv_pos_vel_clock(eph, t_rx_gps - tau)
             pos = np.asarray(out["pos"])
-            r = np.linalg.norm(pos - self.usr, axis=-1)
-            atm = np.array([self._atmos_delay_s(p, t)
-                            for p, t in zip(pos, t_rx_gps)]) \
-                if self.atmosphere else 0.0
+            # Sagnac: during propagation the ECEF frame rotates; the
+            # range must use the transmit position expressed in the
+            # reception-epoch frame (the effect erotcorr.m undoes)
+            from gps_sdr_tpu.geo.earth import earth_rotation_correction
+            pos_rot = np.asarray(earth_rotation_correction(
+                pos, tau * C_LIGHT))
+            r = np.linalg.norm(pos_rot - self.usr, axis=-1)
+            atm = (self._atmos_delay_s(pos_rot, t_rx_gps)
+                   if self.atmosphere else 0.0)
             tau = r / C_LIGHT + atm
         clk = np.asarray(out["clk_m"]) / C_LIGHT - np.asarray(out["tgd_s"])
         return -dt_rx - tau + clk

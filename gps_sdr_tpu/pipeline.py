@@ -1,0 +1,263 @@
+"""Receiver pipeline orchestration with artifact checkpointing.
+
+Equivalent of the reference driver `SDR_main.m`: runs
+acquisition → eph tracking → nav decode → usable-SV filter →
+CT positioning → (optionally) VT positioning, with every stage output
+checkpointed to disk and skipped when the artifact already exists
+(SDR_main.m:21-27,34-61 cache guards).  Artifacts are .npz/.pkl files
+with the schemas of SURVEY.md §4.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+from typing import Dict, Optional, Sequence
+
+import numpy as np
+
+from gps_sdr_tpu import navdecode
+from gps_sdr_tpu.acquisition import AcquisitionResult, run_acquisition
+from gps_sdr_tpu.config import ReceiverConfig
+from gps_sdr_tpu.geo.coords import llh2xyz
+from gps_sdr_tpu.io.ifdata import IFSampleSource
+from gps_sdr_tpu.receiver.ct import NavSolutions, run_ct_positioning
+from gps_sdr_tpu.tracking import (TrackParams, TrackRecords, init_track_state,
+                                  run_tracking)
+
+_REC_FIELDS = ("corr", "code_err", "carr_err", "code_freq", "carr_freq",
+               "num_sample", "rem_chip", "rem_phase", "absolute_sample")
+
+
+def detect_bit_transition(p_i: np.ndarray, min_index: int = 600) -> int:
+    """`countinx`: ms offset of the first clean data-bit transition.
+
+    Matches trackingCT.m:178-213: find i ≥ min_index where the 6 previous
+    ms disagree with ms i and the following 17 agree; return mod(i,20)−1.
+    """
+    s = np.sign(p_i)
+    n = len(s)
+    for i in range(max(6, min_index - 1), n - 18):
+        if np.all(s[i - 6:i] != s[i]) and np.all(s[i + 1:i + 18] == s[i]):
+            return int((i + 1) % 20 - 1)  # reference index is 1-based
+    return 0
+
+
+class Receiver:
+    """Staged receiver with artifact caching.
+
+    Stage artifacts (mirroring SDR_main.m's .mat files):
+      acquired_{name}_{skip}.npz    Acquired{sv,SNR,Doppler,codedelay,fineFreq}
+      tckeph_{name}.npz             per-ms tracking records for nav decode
+      eph_{name}.pkl                {prn: EphemerisRecord} + sbf{nav1,sfb1}
+      tckct_{name}.npz / navct_{name}.npz   CT-POS records + WLS solutions
+    """
+
+    def __init__(self, cfg: ReceiverConfig, source: IFSampleSource,
+                 artifact_dir: Optional[str] = None):
+        self.cfg = cfg
+        self.source = source
+        self.dir = artifact_dir
+        if artifact_dir:
+            os.makedirs(artifact_dir, exist_ok=True)
+        self._acq: Optional[AcquisitionResult] = None
+        self._eph_records: Optional[TrackRecords] = None
+        self._eph = None
+        self._sbf = None
+
+    # ---------- artifact helpers ----------
+    def _path(self, stem: str) -> Optional[str]:
+        if not self.dir:
+            return None
+        return os.path.join(self.dir, stem)
+
+    def _have(self, stem: str) -> bool:
+        p = self._path(stem)
+        return p is not None and os.path.exists(p)
+
+    @staticmethod
+    def _save_records(path: str, rec: TrackRecords) -> None:
+        np.savez_compressed(
+            path, i_early=rec.i_early, i_prompt=rec.i_prompt,
+            i_late=rec.i_late, **{f: getattr(rec, f) for f in _REC_FIELDS})
+
+    @staticmethod
+    def _load_records(path: str) -> TrackRecords:
+        z = np.load(path)
+        return TrackRecords(**{f: z[f] for f in _REC_FIELDS},
+                            i_early=int(z["i_early"]),
+                            i_prompt=int(z["i_prompt"]),
+                            i_late=int(z["i_late"]))
+
+    # ---------- stages ----------
+    def acquisition(self, power_fn=None) -> AcquisitionResult:
+        """Stage 1 (SDR_main.m:22): FFT parallel code-phase search."""
+        if self._acq is not None:
+            return self._acq
+        stem = f"acquired_{self.cfg.file.name}_{self.cfg.file.skip_ms}.npz"
+        if self._have(stem):
+            z = np.load(self._path(stem))
+            self._acq = AcquisitionResult(
+                sv=z["sv"], snr_db=z["snr_db"], doppler_hz=z["doppler_hz"],
+                code_delay=z["code_delay"], fine_freq_hz=z["fine_freq_hz"])
+        else:
+            self._acq = run_acquisition(self.source, self.cfg,
+                                        power_fn=power_fn)
+            if self.dir:
+                np.savez(self._path(stem), sv=self._acq.sv,
+                         snr_db=self._acq.snr_db,
+                         doppler_hz=self._acq.doppler_hz,
+                         code_delay=self._acq.code_delay,
+                         fine_freq_hz=self._acq.fine_freq_hz)
+        return self._acq
+
+    def track_for_eph(self, n_ms: Optional[int] = None,
+                      chunk_ms: int = 1000) -> TrackRecords:
+        """Stage 2 (SDR_main.m:38): 1 ms scalar tracking long enough to
+        decode the ephemerides (≥ ~31 s of bits)."""
+        if self._eph_records is not None:
+            return self._eph_records
+        stem = f"tckeph_{self.cfg.file.name}.npz"
+        if self._have(stem):
+            self._eph_records = self._load_records(self._path(stem))
+            return self._eph_records
+        acq = self.acquisition()
+        n_ms = n_ms or (self.cfg.track.ms_eph_1ms + self.cfg.track.ms_eph_10ms)
+        state = init_track_state(self.cfg, acq.code_delay, acq.fine_freq_hz)
+        params = TrackParams.epl(self.cfg)
+        rec, _ = run_tracking(self.source, self.cfg, list(acq.sv), state,
+                              params, n_ms, chunk_ms=chunk_ms)
+        self._eph_records = rec
+        if self.dir:
+            self._save_records(self._path(stem), rec)
+        return self._eph_records
+
+    def decode(self, start_offset_ms: int = 3000):
+        """Stage 3 (SDR_main.m:54): nav decode → ephemerides + sbf."""
+        if self._eph is not None:
+            return self._eph, self._sbf
+        stem = f"eph_{self.cfg.file.name}.pkl"
+        if self._have(stem):
+            with open(self._path(stem), "rb") as f:
+                self._eph, self._sbf = pickle.load(f)
+            return self._eph, self._sbf
+        acq = self.acquisition()
+        rec = self.track_for_eph()
+        streams = {int(p): rec.p_i[:, ch] for ch, p in enumerate(acq.sv)}
+        self._eph, self._sbf = navdecode.decode_all(streams, start_offset_ms)
+        if self.dir:
+            with open(self._path(stem), "wb") as f:
+                pickle.dump((self._eph, self._sbf), f)
+        return self._eph, self._sbf
+
+    def usable_svs(self):
+        """Stage 4 (SDR_main.m:65, findPosSV.m)."""
+        eph, _ = self.decode()
+        return navdecode.usable_svs(eph)
+
+    def ct_position(self, n_ms: Optional[int] = None,
+                    init_pos_ecef: Optional[np.ndarray] = None,
+                    multicorr: bool = False, chunk_ms: int = 1000):
+        """Stage 5 (SDR_main.m:115): CT tracking + WLS positioning.
+
+        Re-tracks the usable SVs with the POS correlator configuration
+        (25-tap bank if `multicorr`), then forms WLS epochs.
+        Returns (TrackRecords, NavSolutions).
+        """
+        tag = "mc" if multicorr else "epl"
+        stem_t = f"tckct_{tag}_{self.cfg.file.name}.npz"
+        stem_n = f"navct_{tag}_{self.cfg.file.name}.pkl"
+        eph, sbf = self.decode()
+        pos_svs = self.usable_svs()
+        acq = self.acquisition()
+        if init_pos_ecef is None:
+            init_pos_ecef = np.asarray(llh2xyz(np.asarray(
+                self.cfg.solu.truth_llh)))
+        if self._have(stem_t) and self._have(stem_n):
+            with open(self._path(stem_n), "rb") as f:
+                nav = pickle.load(f)
+            return self._load_records(self._path(stem_t)), nav
+
+        chans = [acq.channel_index(p) for p in pos_svs]
+        state = init_track_state(self.cfg, acq.code_delay[chans],
+                                 acq.fine_freq_hz[chans])
+        params = (TrackParams.pos_multicorr(self.cfg) if multicorr
+                  else TrackParams.pos_epl(self.cfg))
+        n_ms = n_ms or self.cfg.track.ms_ct_pos
+        rec, _ = run_tracking(self.source, self.cfg, pos_svs, state,
+                              params, n_ms, chunk_ms=chunk_ms)
+        nav = run_ct_positioning(rec, self.cfg, pos_svs, eph, sbf,
+                                 init_pos_ecef)
+        if self.dir:
+            self._save_records(self._path(stem_t), rec)
+            with open(self._path(stem_n), "wb") as f:
+                pickle.dump(nav, f)
+        return rec, nav
+
+    def vt_position(self, n_ms: Optional[int] = None,
+                    ct_n_ms: Optional[int] = None,
+                    init_pos_ecef: Optional[np.ndarray] = None,
+                    chunk_ms: int = 1000):
+        """Stage 6 (SDR_main.m:99): vector tracking + EKF, warm-started
+        from the CT stage (trackingVT_POS_updated.m:66-70,109-132).
+
+        Returns (VTTrackRecords, VTSolutions).
+        """
+        from gps_sdr_tpu.geo.ephemeris import Ephemeris
+        from gps_sdr_tpu.receiver.vt import (VTParams, init_vt_state,
+                                             run_vector_tracking)
+
+        stem = f"navvt_{self.cfg.file.name}.pkl"
+        if self._have(stem):
+            with open(self._path(stem), "rb") as f:
+                return pickle.load(f)
+
+        cfg = self.cfg
+        eph, sbf = self.decode()
+        pos_svs = self.usable_svs()
+        if init_pos_ecef is None:
+            init_pos_ecef = np.asarray(llh2xyz(np.asarray(
+                cfg.solu.truth_llh)))
+        ct_rec, ct_nav = self.ct_position(n_ms=ct_n_ms,
+                                          init_pos_ecef=init_pos_ecef,
+                                          chunk_ms=chunk_ms)
+
+        # warm-start PVT from the CT epoch at skiptime_vt
+        epoch0 = cfg.file.skiptime_vt_ms // cfg.solu.nav_sol_period_ms - 1
+        est_pos = ct_nav.usr_pos[epoch0]
+        est_vel = ct_nav.usr_vel[epoch0]
+        clk_bias = float(ct_nav.clk_bias_m[epoch0])
+        clk_drift = float(ct_nav.clk_drift_ms[epoch0])
+
+        # per-channel NCO handoff at first-subframe + skiptime_vt ms
+        nav1 = {p: sbf["nav1"][p] for p in pos_svs}
+        sfb1 = {p: eph[p].sfb[0] for p in pos_svs}
+        tow1 = {p: eph[p].tow[0] for p in pos_svs}
+        start_slot = {}
+        tt0 = np.empty(len(pos_svs))
+        for ch, p in enumerate(pos_svs):
+            first_sf_ms = nav1[p] + sfb1[p] * 20
+            slot = first_sf_ms + cfg.file.skiptime_vt_ms - 1  # 0-based row
+            start_slot[ch] = slot
+            tt0[ch] = (tow1[p] + (slot + 1 - first_sf_ms) / 1000.0
+                       + ct_rec.rem_chip[slot, ch]
+                       / cfg.signal.code_freq_basis)
+        params = VTParams(remove_dc=cfg.file.data_precision == 2,
+                          pll_bw_hz=cfg.track.pll_bw_hz,
+                          pll_damping=cfg.track.pll_damping,
+                          pll_gain=cfg.track.pll_gain)
+        state = init_vt_state(cfg, ct_rec, list(range(len(pos_svs))),
+                              start_slot, tt0, est_pos, est_vel, clk_bias,
+                              clk_drift, params)
+        eph_struct = Ephemeris(**{
+            k: np.asarray([eph[p].latest(0)[k] for p in pos_svs])
+            for k in Ephemeris._fields})
+        n_ms = n_ms or cfg.track.ms_vt
+        trk, sol, _ = run_vector_tracking(
+            self.source, cfg, pos_svs, eph_struct, state, params, n_ms,
+            init_pos_ecef, chunk_ms=chunk_ms)
+        if self.dir:
+            with open(self._path(stem), "wb") as f:
+                pickle.dump((trk, sol), f)
+        return trk, sol

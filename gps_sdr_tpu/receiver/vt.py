@@ -1,0 +1,393 @@
+"""Vector tracking + 8-state EKF positioning (VDFLL).
+
+TPU-native re-design of the reference's `trackingVT_POS_updated.m`: the
+entire vector loop — per-channel correlators, nav-solution-driven code
+NCOs, scalar PLLs, SV ephemeris evaluation, atmospheric corrections, and
+the error-state EKF that couples all channels — is ONE `lax.scan` over ms
+blocks, jitted end to end.  Per step:
+
+1. block length from the *predicted* code frequency (ceil, …:164)
+2. transmitTime += numSample/fs (…:181)
+3. SV pos/vel/clock at transmit time (Kepler, vectorized over channels)
+4. predicted pseudorange with clock/Sagnac/iono/tropo corrections
+   (…:208-215), iono/tropo refreshed every 100 ms (…:84-86,190-204)
+5. **vector loop closure**: codeFreq = f0·(1 − ΔPr/(c·Δt)) — the code NCO
+   is driven by the navigation solution, not a local DLL (…:218-223)
+6. fixed-shape E/P/L correlator bank (tracking.correlate_block)
+7. scalar Costas PLL per channel (…:307-313)
+8. code discriminator → pseudorange-error measurement
+   Z_pr = δτ·c/codeFreq (…:316-321); carrier → pseudorange-rate
+   measurement (physically-signed; see note below) (…:379-382)
+9. EKF predict/update on the 8-state error vector
+   [δp(3) δv(3) δb δḃ], total-state feedback + propagation (…:388-442)
+10. adaptive measurement noise from innovation variance every 200 ms with
+    the reference's clamps (…:445-467)
+
+Sign note: the reference computes prr_measured = (carrFreq+IF)·c/Fc
+(…:380) which embeds a front-end-specific convention; this implementation
+uses the physically consistent ṙ_meas = −(carrFreq − IF)·c/fc so the
+measurement model matches H = [0 −a 0 1] for any IF.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gps_sdr_tpu.config import C_LIGHT, ReceiverConfig
+from gps_sdr_tpu.geo.atmosphere import klobuchar_delay, tropo_unb3_delay
+from gps_sdr_tpu.geo.coords import xyz2enu, xyz2llh
+from gps_sdr_tpu.geo.earth import earth_rotation_correction
+from gps_sdr_tpu.geo.ephemeris import Ephemeris, sv_pos_vel_clock
+from gps_sdr_tpu.io.ifdata import IFSampleSource
+from gps_sdr_tpu.ops.cacode import ca_code_table
+from gps_sdr_tpu.ops.loops import loop_coefficients
+from gps_sdr_tpu.tracking import Q32, TrackRecords, correlate_block
+
+
+class VTState(NamedTuple):
+    """Vector-tracking scan carry."""
+
+    # per-channel signal state, shape (N,)
+    ptr: jnp.ndarray
+    rem_chip: jnp.ndarray
+    code_freq: jnp.ndarray
+    carr_freq: jnp.ndarray
+    carr_freq_basis: jnp.ndarray
+    phase_fp: jnp.ndarray
+    pll_nco: jnp.ndarray
+    pll_last: jnp.ndarray
+    transmit_time: jnp.ndarray     # f64 SV transmit time [s of week]
+    predicted_pr_last: jnp.ndarray
+    iono_m: jnp.ndarray            # cached corrections
+    tropo_m: jnp.ndarray
+    el_rad: jnp.ndarray
+    az_rad: jnp.ndarray
+    # EKF state
+    total_state: jnp.ndarray       # (8,) [pos, vel, clk_bias_m, clk_drift_ms]
+    state_cov: jnp.ndarray         # (8,8)
+    r_diag: jnp.ndarray            # (2N,) measurement noise diagonal
+    innov_sq_sum: jnp.ndarray      # (2N,) running Z² for adaptive R
+    step_count: jnp.ndarray        # int32 scalar
+
+
+@dataclasses.dataclass(frozen=True)
+class VTParams:
+    pdi_ms: int = 1
+    taps: Tuple[float, ...] = (0.5, 0.0, -0.5)  # VT E/P/L (…:230-232)
+    pll_bw_hz: float = 15.0
+    pll_damping: float = 0.707
+    pll_gain: float = 0.25
+    corr_update_ms: int = 100       # iono/tropo cadence (…:84-86)
+    r_update_ms: int = 200          # adaptive-R cadence (…:63)
+    q_pos: float = 1.0              # process noise (…:51-54)
+    q_vel: float = 0.1
+    q_clk: float = 0.1
+    q_clkd: float = 0.01
+    r_pr0: float = 0.3              # initial R (…:55-56)
+    r_prr0: float = 0.1
+    r_pr_max: float = 12000.0       # clamps (…:451-463)
+    r_prr_max: float = 400.0
+    r_min: float = 0.01
+    remove_dc: bool = False
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "params", "n_steps", "fs", "blk", "f_if", "fc", "code_freq_basis",
+    "doy"))
+def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
+            iono_alpha, iono_beta, params: VTParams, n_steps: int, fs: float,
+            blk: int, f_if: float, fc: float, code_freq_basis: float,
+            doy: int):
+    """Run `n_steps` ms of vector tracking inside one raw chunk."""
+    n_ch = state.ptr.shape[0]
+    taps = jnp.asarray(params.taps, jnp.float64)
+    tau1, tau2 = loop_coefficients(params.pll_bw_hz, params.pll_damping,
+                                   params.pll_gain)
+    dt = params.pdi_ms * 1e-3
+    n_chips = 1023 * params.pdi_ms
+
+    F = jnp.eye(8, dtype=jnp.float64)
+    F = F.at[0, 3].set(dt).at[1, 4].set(dt).at[2, 5].set(dt).at[6, 7].set(dt)
+    Q = jnp.diag(jnp.asarray(
+        [params.q_pos] * 3 + [params.q_vel] * 3
+        + [params.q_clk, params.q_clkd], jnp.float64))
+
+    def step(st: VTState, _):
+        est_pos = st.total_state[:3]
+        est_vel = st.total_state[3:6]
+        clk_bias = st.total_state[6]
+        clk_drift = st.total_state[7]
+
+        # --- per-channel block length & transmit-time advance ---
+        step_chips = st.code_freq / fs
+        num = jnp.ceil((n_chips - st.rem_chip) / step_chips).astype(jnp.int64)
+        tt = st.transmit_time + num.astype(jnp.float64) / fs
+
+        # --- SV state at transmit time ---
+        sv = sv_pos_vel_clock(eph, tt)
+        sv_pos, sv_vel = sv["pos"], sv["vel"]
+        sv_clk, sv_clk_rate = sv["clk_m"], sv["clk_rate_ms"]
+        tgd_m = sv["tgd_s"] * C_LIGHT
+
+        # --- atmospheric corrections every corr_update_ms ---
+        def refresh_corr(_):
+            enu_r = xyz2enu(sv_pos, est_pos)
+            el = jnp.arctan2(enu_r[..., 2],
+                             jnp.linalg.norm(enu_r[..., :2], axis=-1))
+            az = jnp.arctan2(enu_r[..., 0], enu_r[..., 1])
+            llh = xyz2llh(est_pos)
+            iono = klobuchar_delay(tt, sv_pos, est_pos, iono_alpha, iono_beta)
+            tropo = jnp.abs(tropo_unb3_delay(
+                doy, jnp.rad2deg(llh[0]), llh[2], jnp.rad2deg(el)))
+            return iono, tropo, el, az
+
+        iono, tropo, el, az = jax.lax.cond(
+            st.step_count % params.corr_update_ms == 0,
+            refresh_corr,
+            lambda _: (st.iono_m, st.tropo_m, st.el_rad, st.az_rad),
+            operand=None)
+
+        # --- predicted pseudorange & vector code-NCO (…:208-223) ---
+        r0 = jnp.linalg.norm(sv_pos - est_pos[None, :], axis=-1)
+        pred_pr = r0 + clk_bias + sv_clk - tgd_m - tropo - iono
+        sv_pos_rot = earth_rotation_correction(sv_pos, pred_pr)
+        r1 = jnp.linalg.norm(sv_pos_rot - est_pos[None, :], axis=-1)
+        pred_pr = r1 + clk_bias + sv_clk - tgd_m - tropo - iono
+        delta_pr = (pred_pr - st.predicted_pr_last) / dt
+        code_freq = jnp.where(
+            st.step_count == 0, st.code_freq,
+            code_freq_basis * (1.0 - delta_pr / C_LIGHT))
+
+        # --- correlate (fixed-shape bank); block length `num` was sized
+        # with the previous code frequency, replica steps at the new one
+        # (…:164,227-232) ---
+        def chan_corr(ptr, rem, cfq, cfr, pfp, chips, n):
+            return correlate_block(raw, chunk_start, ptr, rem, cfq, cfr, pfp,
+                                   chips, taps, fs, n_chips, blk, "ceil",
+                                   params.remove_dc, num=n)
+
+        corr, num2, rem_new, phase_new = jax.vmap(chan_corr)(
+            st.ptr, st.rem_chip, code_freq, st.carr_freq, st.phase_fp,
+            chip_tables, num)
+        e_i, e_q = corr[:, 0, 0], corr[:, 0, 1]
+        p_i, p_q = corr[:, 1, 0], corr[:, 1, 1]
+        l_i, l_q = corr[:, 2, 0], corr[:, 2, 1]
+
+        # --- scalar PLL (…:307-313) ---
+        safe_pi = jnp.where(p_i == 0, 1e-30, p_i)
+        carr_err = (jnp.arctan(p_q / safe_pi) / (2 * jnp.pi)).astype(jnp.float64)
+        pll = st.pll_nco + (tau2 / tau1) * (carr_err - st.pll_last) \
+            + carr_err * (dt / tau1)
+        carr_freq = st.carr_freq_basis + pll
+
+        # --- DLL discriminator → pseudorange-error measurement (…:316-321)
+        e = jnp.sqrt(e_i * e_i + e_q * e_q).astype(jnp.float64)
+        l = jnp.sqrt(l_i * l_i + l_q * l_q).astype(jnp.float64)
+        code_err = -0.5 * (e - l) / jnp.maximum(e + l, 1e-30)
+        z_pr = code_err * C_LIGHT / code_freq
+
+        # --- nav-epoch SV states & H matrix (…:357-383) ---
+        num_min = jnp.min(num2) - 1
+        tt_pos = tt - (num2 - num_min).astype(jnp.float64) / fs
+        svp = sv_pos_vel_clock(eph, tt_pos)
+        pred_pr_pos = (jnp.linalg.norm(svp["pos"] - est_pos[None, :], axis=-1)
+                       + clk_bias + svp["clk_m"] - svp["tgd_s"] * C_LIGHT
+                       - tropo - iono)
+        svp_rot = earth_rotation_correction(svp["pos"], pred_pr_pos)
+        diff = svp_rot - est_pos[None, :]
+        rr = jnp.linalg.norm(diff, axis=-1, keepdims=True)
+        a = diff / rr                                     # unit LOS (N,3)
+        H = jnp.zeros((2 * n_ch, 8), jnp.float64)
+        H = H.at[:n_ch, 0:3].set(-a).at[:n_ch, 6].set(1.0)
+        H = H.at[n_ch:, 3:6].set(-a).at[n_ch:, 7].set(1.0)
+
+        prr_meas = -(carr_freq - f_if) * C_LIGHT / fc
+        prr_pred = jnp.sum((est_vel[None, :] - svp["vel"]) * a, axis=-1)
+        z_prr = prr_pred - prr_meas - clk_drift + svp["clk_rate_ms"]
+        z = jnp.concatenate([z_pr, z_prr])
+
+        # --- EKF predict + update (…:388-404) ---
+        P = F @ st.state_cov @ F.T + Q
+        S = H @ P @ H.T + jnp.diag(st.r_diag)
+        K = jax.scipy.linalg.solve(S.T, (P @ H.T).T, assume_a="pos").T
+        err = K @ z
+        P = (jnp.eye(8) - K @ H) @ P
+        total = st.total_state + err
+        # propagate to next epoch (…:440-442)
+        total_next = F @ total
+
+        # --- adaptive R (…:445-467) ---
+        sq = st.innov_sq_sum + z * z
+        cnt = st.step_count + 1
+
+        def update_r(_):
+            m = sq / params.r_update_ms
+            rp = jnp.clip(m[:n_ch] * 10.0, params.r_min, params.r_pr_max)
+            rr_ = jnp.clip(m[n_ch:], params.r_min, params.r_prr_max)
+            return jnp.concatenate([rp, rr_]), jnp.zeros_like(sq)
+
+        r_diag, sq = jax.lax.cond(
+            cnt % params.r_update_ms == 0, update_r,
+            lambda _: (st.r_diag, sq), operand=None)
+
+        new_state = VTState(
+            ptr=st.ptr + num2, rem_chip=rem_new, code_freq=code_freq,
+            carr_freq=carr_freq, carr_freq_basis=st.carr_freq_basis,
+            phase_fp=phase_new, pll_nco=pll, pll_last=carr_err,
+            transmit_time=tt, predicted_pr_last=pred_pr,
+            iono_m=iono, tropo_m=tropo, el_rad=el, az_rad=az,
+            total_state=total_next, state_cov=P, r_diag=r_diag,
+            innov_sq_sum=sq, step_count=cnt)
+
+        rec = dict(corr=corr, carr_err=carr_err, code_err=code_err,
+                   code_freq=code_freq, carr_freq=carr_freq,
+                   delta_pr=delta_pr, num_sample=num2,
+                   absolute_sample=st.ptr + num2,
+                   total_state=total, state_cov_diag=jnp.diagonal(P),
+                   kalman_gain=K, innovation=z, r_diag=r_diag,
+                   el=el, az=az, sv_vel=svp["vel"],
+                   local_time=jnp.min(tt_pos), transmit_time=tt)
+        return new_state, rec
+
+    return jax.lax.scan(step, state, None, length=n_steps)
+
+
+@dataclasses.dataclass
+class VTSolutions:
+    """navSolutionsVT equivalent (…:418-437) — one row per ms."""
+
+    usr_pos: np.ndarray
+    usr_vel: np.ndarray
+    usr_pos_enu: np.ndarray
+    usr_pos_llh: np.ndarray
+    clk_bias_m: np.ndarray
+    clk_drift_ms: np.ndarray
+    local_time: np.ndarray
+    state_cov_diag: np.ndarray
+    kalman_gain: np.ndarray        # (T, 8, 2N)
+    innovation: np.ndarray         # (T, 2N)
+    r_diag: np.ndarray
+    sat_el_deg: np.ndarray
+    sat_az_deg: np.ndarray
+
+
+@dataclasses.dataclass
+class VTTrackRecords:
+    """TckResultVT equivalent (…:324-352)."""
+
+    corr: np.ndarray
+    carr_err: np.ndarray
+    code_err: np.ndarray
+    code_freq: np.ndarray
+    carr_freq: np.ndarray
+    delta_pr: np.ndarray
+    num_sample: np.ndarray
+    absolute_sample: np.ndarray
+    transmit_time: np.ndarray
+    sv_vel: np.ndarray
+
+
+def init_vt_state(cfg: ReceiverConfig, ct_records: TrackRecords,
+                  prn_channels: Sequence[int], start_slot_ms: Dict[int, int],
+                  transmit_time0: np.ndarray, est_pos: np.ndarray,
+                  est_vel: np.ndarray, clk_bias_m: float,
+                  clk_drift_ms: float, params: VTParams) -> VTState:
+    """Warm start from conventional tracking (…:66-70,109-132).
+
+    `prn_channels` are channel indices into `ct_records`; `start_slot_ms`
+    maps channel→0-based record row to hand off from; `transmit_time0` is
+    the transmit time at each channel's handoff sample.
+    """
+    chans = list(prn_channels)
+    n = len(chans)
+    rows = np.array([start_slot_ms[c] for c in chans])
+    sel = (rows, np.array(chans))
+    rem_phase = ct_records.rem_phase[sel]
+    carr = ct_records.carr_freq[sel]
+    z2 = np.zeros(2 * n)
+    return VTState(
+        ptr=jnp.asarray(ct_records.absolute_sample[sel], jnp.int64),
+        rem_chip=jnp.asarray(ct_records.rem_chip[sel]),
+        code_freq=jnp.asarray(ct_records.code_freq[sel]),
+        carr_freq=jnp.asarray(carr),
+        carr_freq_basis=jnp.asarray(carr),
+        phase_fp=jnp.asarray(
+            np.round(rem_phase / (2 * np.pi) * Q32).astype(np.int64)
+            .astype(np.int32)),
+        pll_nco=jnp.zeros(n, jnp.float64),
+        pll_last=jnp.asarray(ct_records.carr_err[sel]),
+        transmit_time=jnp.asarray(transmit_time0, jnp.float64),
+        predicted_pr_last=jnp.zeros(n, jnp.float64),
+        iono_m=jnp.zeros(n, jnp.float64), tropo_m=jnp.zeros(n, jnp.float64),
+        el_rad=jnp.full(n, np.pi / 4), az_rad=jnp.zeros(n, jnp.float64),
+        total_state=jnp.asarray(
+            np.concatenate([est_pos, est_vel, [clk_bias_m, clk_drift_ms]]),
+            jnp.float64),
+        state_cov=jnp.asarray(
+            1e5 * np.diag([0.1] * 6 + [1.0, 1.0]), jnp.float64),
+        r_diag=jnp.asarray(np.concatenate([
+            np.full(n, params.r_pr0), np.full(n, params.r_prr0)])),
+        innov_sq_sum=jnp.asarray(z2), step_count=jnp.asarray(0, jnp.int32))
+
+
+def run_vector_tracking(source: IFSampleSource, cfg: ReceiverConfig,
+                        prns: Sequence[int], eph_struct: Ephemeris,
+                        state: VTState, params: VTParams, n_ms: int,
+                        init_pos_ecef: np.ndarray, chunk_ms: int = 1000
+                        ) -> Tuple[VTTrackRecords, VTSolutions, VTState]:
+    """Host driver for the VT scan: chunk the capture, collect records."""
+    S = cfg.signal.samples_per_ms
+    fs = float(cfg.signal.fs)
+    blk = S * params.pdi_ms + 256
+    chip_tables = jnp.asarray(
+        np.stack([ca_code_table()[p - 1] for p in prns]), jnp.float32)
+    alpha = jnp.asarray(cfg.cmn.iono_alpha, jnp.float64)
+    beta = jnp.asarray(cfg.cmn.iono_beta, jnp.float64)
+
+    recs: Dict[str, list] = {}
+    done = 0
+    while done < n_ms:
+        nb = min(chunk_ms, n_ms - done)
+        ptr_min = int(np.min(np.asarray(state.ptr)))
+        ptr_max = int(np.max(np.asarray(state.ptr)))
+        length = (ptr_max - ptr_min) + nb * params.pdi_ms * S + blk + 64
+        raw = jnp.asarray(source.read_complex(ptr_min, length,
+                                              remove_dc=False))
+        state, rec = vt_scan(raw, jnp.int64(ptr_min), state, chip_tables,
+                             eph_struct, alpha, beta, params, nb, fs, blk,
+                             float(cfg.signal.f_if), float(cfg.signal.fc),
+                             float(cfg.signal.code_freq_basis),
+                             int(cfg.cmn.day_of_year))
+        for k, v in rec.items():
+            recs.setdefault(k, []).append(np.asarray(v))
+        done += nb
+    cat = {k: np.concatenate(v) for k, v in recs.items()}
+
+    pos = cat["total_state"][:, :3]
+    enu = np.asarray(xyz2enu(pos, np.asarray(init_pos_ecef)))
+    llh = np.asarray(xyz2llh(pos))
+    llh = np.stack([np.rad2deg(llh[:, 0]), np.rad2deg(llh[:, 1]),
+                    llh[:, 2]], axis=-1)
+    sol = VTSolutions(
+        usr_pos=pos, usr_vel=cat["total_state"][:, 3:6],
+        usr_pos_enu=enu, usr_pos_llh=llh,
+        clk_bias_m=cat["total_state"][:, 6],
+        clk_drift_ms=cat["total_state"][:, 7],
+        local_time=cat["local_time"],
+        state_cov_diag=cat["state_cov_diag"],
+        kalman_gain=cat["kalman_gain"], innovation=cat["innovation"],
+        r_diag=cat["r_diag"], sat_el_deg=np.rad2deg(cat["el"]),
+        sat_az_deg=np.rad2deg(cat["az"]))
+    trk = VTTrackRecords(
+        corr=cat["corr"], carr_err=cat["carr_err"], code_err=cat["code_err"],
+        code_freq=cat["code_freq"], carr_freq=cat["carr_freq"],
+        delta_pr=cat["delta_pr"], num_sample=cat["num_sample"],
+        absolute_sample=cat["absolute_sample"],
+        transmit_time=cat["transmit_time"], sv_vel=cat["sv_vel"])
+    return trk, sol, state

@@ -1,0 +1,369 @@
+"""Scan-based DLL/PLL tracking engine.
+
+The reference tracks each channel with a per-ms MATLAB loop doing a
+variable-length `fread` whose size depends on the code NCO
+(`numSample = round((1023·pdi − remChip)/(codeFreq/Fs))`, trackingCT.m:80)
+— shapes change every iteration, which is XLA-hostile.  This engine is the
+TPU-first reformulation promised in SURVEY.md §7.1:
+
+- **Time is a `lax.scan`** over coherent-integration blocks; the loop
+  carry holds the full per-channel NCO/loop-filter state.
+- **Channels are a batch axis** (`vmap`): all N channels advance in
+  lock-step through a shared device-resident sample chunk; each channel
+  reads a *fixed-size* window with `dynamic_slice` and masks the tail
+  beyond its data-dependent `numSample`.
+- **NCOs are Q32 fixed-point accumulators** (like hardware receivers):
+  carrier phase is an int32 that wraps exactly mod 2³² (= mod 1 cycle) and
+  the code chip index is an int64 Q32 accumulator, so phase never loses
+  precision over multi-minute captures — no float64 wideband arrays, the
+  per-sample compute is all int32/float32.
+- The multi-tap correlator bank is one (ntaps, BLK) × (BLK, 2) matmul per
+  channel per block (batched over channels → MXU).
+
+Loop behavior (discriminators, 2nd-order filters, update order, the
+reference's stage-specific sign/offset quirks) matches the reference so
+that its golden artifacts remain the parity target:
+- trackingCT.m:137-150   DLL/PLL recurrences, codeFreq = basis − nco
+- trackingCT_POS_updated.m:210-270  E/P/L from the 25-tap grid with the
+  +0.05-chip prompt offset, codeFreq = basis + nco, ceil() block length
+- trackingCT.m:447-449   negated correlator outputs in the 10 ms phase
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gps_sdr_tpu.config import ReceiverConfig
+from gps_sdr_tpu.io.ifdata import IFSampleSource
+from gps_sdr_tpu.ops.cacode import CODE_LENGTH, ca_code_table
+from gps_sdr_tpu.ops.loops import loop_coefficients
+
+Q32 = 4294967296.0  # 2**32
+
+
+class TrackState(NamedTuple):
+    """Per-channel tracking carry; every field is shape (N,)."""
+
+    ptr: jnp.ndarray            # int64 absolute sample index of next block
+    rem_chip: jnp.ndarray      # f64 code phase remainder [chips]
+    code_freq: jnp.ndarray     # f64 [Hz]
+    carr_freq: jnp.ndarray     # f64 [Hz]
+    carr_freq_basis: jnp.ndarray  # f64 [Hz]
+    phase_fp: jnp.ndarray      # int32 Q32 carrier phase fraction
+    dll_nco: jnp.ndarray       # f64 loop filter accumulators
+    dll_last: jnp.ndarray
+    pll_nco: jnp.ndarray
+    pll_last: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackParams:
+    """Static configuration of one tracking segment."""
+
+    pdi_ms: int                    # coherent integration [ms]
+    taps: Tuple[float, ...]        # correlator offsets [chips]
+    i_early: int
+    i_prompt: int
+    i_late: int
+    dll_freq_sign: float = -1.0    # codeFreq = basis + sign·nco
+    negate_iq: bool = False        # the 10 ms eph phase negates outputs
+    rounding: str = "round"        # numSample: "round" (trackingCT) or
+                                   # "ceil" (POS/VT stages)
+    dll_bw_hz: float = 2.0
+    dll_damping: float = 0.707
+    dll_gain: float = 0.1
+    pll_bw_hz: float = 15.0
+    pll_damping: float = 0.707
+    pll_gain: float = 0.25
+    loop_dt_s: float = 1e-3        # the reference integrates with 0.001
+                                   # regardless of pdi except phase (b)
+    remove_dc: bool = False        # int16 front-ends
+
+    @staticmethod
+    def epl(cfg: ReceiverConfig, pdi_ms: int = 1, **kw) -> "TrackParams":
+        """trackingCT-style 3-tap [−d, 0, +d] configuration."""
+        d = cfg.track.correlator_spacing
+        defaults = dict(
+            pdi_ms=pdi_ms, taps=(-d, 0.0, d), i_early=0, i_prompt=1,
+            i_late=2, dll_freq_sign=-1.0,
+            dll_bw_hz=cfg.track.dll_bw_hz, dll_damping=cfg.track.dll_damping,
+            dll_gain=cfg.track.dll_gain, pll_bw_hz=cfg.track.pll_bw_hz,
+            pll_damping=cfg.track.pll_damping, pll_gain=cfg.track.pll_gain,
+            remove_dc=cfg.file.data_precision == 2)
+        defaults.update(kw)
+        return TrackParams(**defaults)
+
+    @staticmethod
+    def pos_epl(cfg: ReceiverConfig, pdi_ms: int = 1, **kw) -> "TrackParams":
+        """CT-POS 3-tap configuration: taps (+0.5, +0.05, −0.5) with the
+        prompt-offset quirk, ceil block length, codeFreq = basis + nco
+        (trackingCT_POS_updated.m:210-217,262)."""
+        d = cfg.track.correlator_spacing
+        defaults = dict(
+            pdi_ms=pdi_ms, taps=(d, 0.05, -d), i_early=0, i_prompt=1,
+            i_late=2, dll_freq_sign=+1.0, rounding="ceil",
+            dll_bw_hz=cfg.track.dll_bw_hz, dll_damping=cfg.track.dll_damping,
+            dll_gain=cfg.track.dll_gain, pll_bw_hz=cfg.track.pll_bw_hz,
+            pll_damping=cfg.track.pll_damping, pll_gain=cfg.track.pll_gain,
+            remove_dc=cfg.file.data_precision == 2)
+        defaults.update(kw)
+        return TrackParams(**defaults)
+
+    @staticmethod
+    def pos_multicorr(cfg: ReceiverConfig, pdi_ms: int = 1, **kw
+                      ) -> "TrackParams":
+        """25-tap grid 0.6:−0.05:−0.6 (trackingCT_POS_updated.m:42);
+        loop closes on the ±0.5/P taps (indices 2/12/22), with the
+        +0.05-chip prompt quirk folded into the prompt tap."""
+        grid = [round(0.6 - 0.05 * i, 4) for i in range(25)]
+        grid[12] = 0.05
+        defaults = dict(
+            pdi_ms=pdi_ms, taps=tuple(grid), i_early=2, i_prompt=12,
+            i_late=22, dll_freq_sign=+1.0, rounding="ceil",
+            dll_bw_hz=cfg.track.dll_bw_hz, dll_damping=cfg.track.dll_damping,
+            dll_gain=cfg.track.dll_gain, pll_bw_hz=cfg.track.pll_bw_hz,
+            pll_damping=cfg.track.pll_damping, pll_gain=cfg.track.pll_gain,
+            remove_dc=cfg.file.data_precision == 2)
+        defaults.update(kw)
+        return TrackParams(**defaults)
+
+
+def init_track_state(cfg: ReceiverConfig, code_delays: np.ndarray,
+                     fine_freqs: np.ndarray) -> TrackState:
+    """Initial state from acquisition results.
+
+    File-pointer convention matches trackingCT.m:63 /
+    trackingCT_POS_updated.m:108-110: start at absolute sample
+    skip·S + S − codedelay + 1.
+    """
+    S = cfg.signal.samples_per_ms
+    n = len(code_delays)
+    ptr0 = (cfg.file.skip_ms * S + S - np.asarray(code_delays, np.int64) + 1)
+    z = np.zeros(n, dtype=np.float64)
+    return TrackState(
+        ptr=jnp.asarray(ptr0, jnp.int64),
+        rem_chip=jnp.asarray(z),
+        code_freq=jnp.full(n, cfg.signal.code_freq_basis, jnp.float64),
+        carr_freq=jnp.asarray(fine_freqs, jnp.float64),
+        carr_freq_basis=jnp.asarray(fine_freqs, jnp.float64),
+        phase_fp=jnp.zeros(n, jnp.int32),
+        dll_nco=jnp.asarray(z), dll_last=jnp.asarray(z),
+        pll_nco=jnp.asarray(z), pll_last=jnp.asarray(z),
+    )
+
+
+def correlate_block(raw: jnp.ndarray, chunk_start, ptr, rem_chip, code_freq,
+                    carr_freq, phase_fp, chips: jnp.ndarray,
+                    taps: jnp.ndarray, fs: float, n_chips: int, blk: int,
+                    rounding: str, remove_dc: bool, num=None):
+    """One channel × one coherent block: fixed-shape correlator bank.
+
+    If `num` is given, the block length is externally imposed (the VT loop
+    sizes the read with the *previous* predicted code frequency while the
+    replica steps at the new one, trackingVT_POS_updated.m:164,227).
+    Returns (corr (ntaps,2) [I,Q], num_sample, new rem_chip, new phase_fp).
+    """
+    step = code_freq / fs
+    if num is None:
+        n_exact = (n_chips - rem_chip) / step
+        num = (jnp.ceil(n_exact) if rounding == "ceil"
+               else jnp.round(n_exact)).astype(jnp.int64)
+    offset = (ptr - chunk_start).astype(jnp.int32)
+    x = jax.lax.dynamic_slice(raw, (offset,), (blk,))
+    k = jnp.arange(blk, dtype=jnp.int32)
+    mask = k < num.astype(jnp.int32)
+    x = jnp.where(mask, x, 0.0 + 0.0j)
+    num_f = num.astype(jnp.float64)
+    if remove_dc:
+        x = jnp.where(mask, x - jnp.sum(x) / num_f, 0.0 + 0.0j)
+
+    # carrier mix — Q32 phase accumulator, exact wrap mod one cycle
+    carr_fp = jnp.round(carr_freq / fs * Q32).astype(jnp.int64).astype(jnp.int32)
+    ph = phase_fp + k * carr_fp            # int32 wraparound == mod 2^32
+    theta = ph.astype(jnp.float32) * jnp.float32(2.0 * jnp.pi / Q32)
+    carr = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
+    mixed = x * carr
+    iq = jnp.stack([mixed.imag, mixed.real], axis=-1)  # I=imag Q=real
+                                                       # (trackingCT.m:113)
+
+    # code taps — Q32 chip-index accumulator; chip = (ceil(t)−1) mod 1023
+    step_fp = jnp.round(step * Q32).astype(jnp.int64)
+    base_fp = jnp.round(rem_chip * Q32).astype(jnp.int64)
+    tap_fp = jnp.round(taps * Q32).astype(jnp.int64)          # (ntaps,)
+    idx = ((base_fp + tap_fp)[:, None]
+           + k.astype(jnp.int64)[None, :] * step_fp - 1) >> 32
+    chip_idx = jnp.remainder(idx, CODE_LENGTH).astype(jnp.int32)
+    code_vals = chips[chip_idx]                               # (ntaps, blk)
+    corr = jnp.einsum("tb,bc->tc", code_vals, iq,
+                      preferred_element_type=jnp.float32)
+
+    rem_chip_new = num_f * step + rem_chip - n_chips
+    phase_new = phase_fp + (num.astype(jnp.int32)) * carr_fp
+    return corr, num, rem_chip_new, phase_new
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "n_steps", "fs", "blk", "code_freq_basis"))
+def track_scan(raw: jnp.ndarray, chunk_start: jnp.ndarray, state: TrackState,
+               chip_tables: jnp.ndarray, params: TrackParams, n_steps: int,
+               fs: float, blk: int, code_freq_basis: float = 1.023e6):
+    """Track all channels for `n_steps` coherent blocks within one chunk.
+
+    raw          (L,) complex64 device chunk
+    chunk_start  int64 absolute sample index of raw[0]
+    chip_tables  (N, 1023) float32
+    Returns (new_state, records) with records as (T, N, ...) arrays.
+    """
+    n_chips = CODE_LENGTH * params.pdi_ms
+    taps = jnp.asarray(params.taps, jnp.float64)
+    tau1c, tau2c = loop_coefficients(params.dll_bw_hz, params.dll_damping,
+                                     params.dll_gain)
+    tau1r, tau2r = loop_coefficients(params.pll_bw_hz, params.pll_damping,
+                                     params.pll_gain)
+    dt = params.loop_dt_s
+    sign = params.negate_iq and -1.0 or 1.0
+
+    def channel_step(ptr, rem_chip, code_freq, carr_freq, carr_basis,
+                     phase_fp, dll_nco, dll_last, pll_nco, pll_last, chips):
+        corr, num, rem_new, phase_new = correlate_block(
+            raw, chunk_start, ptr, rem_chip, code_freq, carr_freq, phase_fp,
+            chips, taps, fs, n_chips, blk, params.rounding, params.remove_dc)
+        corr = corr * jnp.float32(sign)
+        e_i, e_q = corr[params.i_early, 0], corr[params.i_early, 1]
+        p_i, p_q = corr[params.i_prompt, 0], corr[params.i_prompt, 1]
+        l_i, l_q = corr[params.i_late, 0], corr[params.i_late, 1]
+
+        e = jnp.sqrt(e_i * e_i + e_q * e_q).astype(jnp.float64)
+        l = jnp.sqrt(l_i * l_i + l_q * l_q).astype(jnp.float64)
+        code_err = 0.5 * (e - l) / jnp.maximum(e + l, 1e-30)
+        dll = dll_nco + (tau2c / tau1c) * (code_err - dll_last) \
+            + code_err * (dt / tau1c)
+        # codeFreq = basis + sign·nco (trackingCT.m:143 vs
+        # trackingCT_POS_updated.m:262)
+        code_freq_new = code_freq_basis + params.dll_freq_sign * dll
+
+        safe_pi = jnp.where(p_i == 0, 1e-30, p_i)
+        carr_err = (jnp.arctan(p_q / safe_pi) / (2.0 * jnp.pi)
+                    ).astype(jnp.float64)
+        pll = pll_nco + (tau2r / tau1r) * (carr_err - pll_last) \
+            + carr_err * (dt / tau1r)
+        carr_freq_new = carr_basis + pll
+
+        ptr_new = ptr + num
+        rec = dict(corr=corr, code_err=code_err, carr_err=carr_err,
+                   code_freq=code_freq_new, carr_freq=carr_freq_new,
+                   num_sample=num, rem_chip=rem_new,
+                   rem_phase=jnp.remainder(
+                       phase_new.astype(jnp.float64) * (2.0 * jnp.pi / Q32),
+                       2.0 * jnp.pi),
+                   absolute_sample=ptr_new)
+        return (ptr_new, rem_new, code_freq_new, carr_freq_new, carr_basis,
+                phase_new, dll, code_err, pll, carr_err), rec
+
+    vstep = jax.vmap(channel_step)
+
+    def scan_step(st: TrackState, _):
+        out, rec = vstep(st.ptr, st.rem_chip, st.code_freq, st.carr_freq,
+                         st.carr_freq_basis, st.phase_fp, st.dll_nco,
+                         st.dll_last, st.pll_nco, st.pll_last, chip_tables)
+        return TrackState(*out), rec
+
+    new_state, records = jax.lax.scan(scan_step, state, None, length=n_steps)
+    return new_state, records
+
+
+@dataclasses.dataclass
+class TrackRecords:
+    """Struct-of-arrays tracking log, (T, N) per field — the reference's
+    TckResult struct transposed (trackingCT.m:153-170)."""
+
+    corr: np.ndarray           # (T, N, ntaps, 2) I/Q correlator bank
+    code_err: np.ndarray
+    carr_err: np.ndarray
+    code_freq: np.ndarray
+    carr_freq: np.ndarray
+    num_sample: np.ndarray
+    rem_chip: np.ndarray
+    rem_phase: np.ndarray
+    absolute_sample: np.ndarray
+    i_early: int = 0
+    i_prompt: int = 1
+    i_late: int = 2
+
+    @property
+    def p_i(self):
+        return self.corr[:, :, self.i_prompt, 0]
+
+    @property
+    def p_q(self):
+        return self.corr[:, :, self.i_prompt, 1]
+
+    @property
+    def e_i(self):
+        return self.corr[:, :, self.i_early, 0]
+
+    @property
+    def l_i(self):
+        return self.corr[:, :, self.i_late, 0]
+
+    @staticmethod
+    def concatenate(parts):
+        return TrackRecords(*[np.concatenate([getattr(p, f) for p in parts])
+                              for f in ("corr", "code_err", "carr_err",
+                                        "code_freq", "carr_freq",
+                                        "num_sample", "rem_chip", "rem_phase",
+                                        "absolute_sample")],
+                            i_early=parts[0].i_early,
+                            i_prompt=parts[0].i_prompt,
+                            i_late=parts[0].i_late)
+
+
+def run_tracking(source: IFSampleSource, cfg: ReceiverConfig, prns,
+                 state: TrackState, params: TrackParams, n_ms: int,
+                 chunk_ms: int = 1000) -> Tuple[TrackRecords, TrackState]:
+    """Host driver: stream chunks to device, run the jitted scan per chunk.
+
+    `prns` orders the channels; `state` comes from `init_track_state` or a
+    previous segment (the 3-phase eph schedule chains segments).
+    """
+    S = cfg.signal.samples_per_ms
+    fs = float(cfg.signal.fs)
+    blk = S * params.pdi_ms + 256
+    chip_tables = jnp.asarray(
+        np.stack([ca_code_table()[p - 1] for p in prns]), jnp.float32)
+
+    n_blocks_total = n_ms // params.pdi_ms
+    blocks_per_chunk = max(1, chunk_ms // params.pdi_ms)
+    parts = []
+    done = 0
+    while done < n_blocks_total:
+        nb = min(blocks_per_chunk, n_blocks_total - done)
+        ptr_min = int(np.min(np.asarray(state.ptr)))
+        ptr_max = int(np.max(np.asarray(state.ptr)))
+        length = (ptr_max - ptr_min) + nb * params.pdi_ms * S + blk + 64
+        raw = jnp.asarray(source.read_complex(ptr_min, length,
+                                              remove_dc=False))
+        state, rec = track_scan(raw, jnp.int64(ptr_min), state, chip_tables,
+                                params, nb, fs, blk,
+                                float(cfg.signal.code_freq_basis))
+        parts.append(TrackRecords(
+            corr=np.asarray(rec["corr"]),
+            code_err=np.asarray(rec["code_err"]),
+            carr_err=np.asarray(rec["carr_err"]),
+            code_freq=np.asarray(rec["code_freq"]),
+            carr_freq=np.asarray(rec["carr_freq"]),
+            num_sample=np.asarray(rec["num_sample"]),
+            rem_chip=np.asarray(rec["rem_chip"]),
+            rem_phase=np.asarray(rec["rem_phase"]),
+            absolute_sample=np.asarray(rec["absolute_sample"]),
+            i_early=params.i_early, i_prompt=params.i_prompt,
+            i_late=params.i_late))
+        done += nb
+    return TrackRecords.concatenate(parts), state

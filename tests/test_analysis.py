@@ -1,0 +1,73 @@
+"""Analysis module tests: multipath ACF, feature extraction, C/N0, plots."""
+
+import numpy as np
+
+from gps_sdr_tpu.analysis.acf import acf_features, acf_envelope
+from gps_sdr_tpu.analysis.multipath import multipath_acf, pseudorange_bias_chips
+from gps_sdr_tpu.utils.metrics import cn0_series, format_acquisition_table
+
+
+def test_multipath_acf_distortion():
+    res = multipath_acf(prn=3, fs=20.46e6,
+                        delays_chips=np.array([0.0, 0.25, 0.5, 1.0, 2.0]),
+                        alpha=0.5, n_ms=1)
+    # clean LOS ACF: triangular, peak at tap 0
+    k0 = np.argmin(np.abs(res.taps_chips))
+    assert np.argmax(res.acf_los) == k0
+    # in-phase multipath raises the peak and skews the late side
+    assert res.acf[1].max() > res.acf_los.max()
+    # a 2-chip-delayed reflection no longer overlaps: ACF ≈ LOS
+    np.testing.assert_allclose(res.acf[4][k0 - 8:k0 + 9],
+                               res.acf_los[k0 - 8:k0 + 9], rtol=0.12)
+
+
+def test_multipath_pseudorange_bias():
+    res = multipath_acf(prn=3, fs=20.46e6,
+                        delays_chips=np.linspace(0.05, 1.2, 12), alpha=0.5)
+    bias = pseudorange_bias_chips(res, spacing=0.5)
+    assert np.max(np.abs(bias)) > 0.05     # in-phase multipath biases DLL
+    assert abs(bias[-1]) < np.max(np.abs(bias))  # decays at long delay
+
+
+def test_acf_features_shapes_and_separation():
+    rng = np.random.default_rng(0)
+    T, N, K = 400, 2, 25
+    taps = np.linspace(0.6, -0.6, K)
+    corr = rng.normal(0, 1, (T, N, K, 2))
+    # channel 0: clean triangular ACF; channel 1: flat (multipath-like)
+    tri = np.maximum(0, 1 - np.abs(taps)) * 50
+    corr[:, 0, :, 0] += tri
+    corr[:, 1, :, 0] += 25.0
+    code_err = rng.normal(0, 0.05, (T, N))
+    code_err[:, 1] *= 4
+    f = acf_features(corr, code_err, taps, window_ms=100)
+    assert f.f1_amp.shape == (4, 2)
+    assert f.matrix().shape == (8, 5)
+    # clean channel has lower delay variance and lower disc variance
+    assert f.f3_delay_var[:, 0].mean() < f.f3_delay_var[:, 1].mean()
+    assert f.f5_disc_var[:, 0].mean() < f.f5_disc_var[:, 1].mean()
+
+
+def test_cn0_series_tracks_snr():
+    rng = np.random.default_rng(1)
+    T = 400
+    amp, sigma = 5000.0, 300.0
+    p_i = amp + rng.normal(0, sigma, (T, 1))
+    p_q = rng.normal(0, sigma, (T, 1))
+    cn0 = cn0_series(p_i, p_q, 1e-3)
+    # C/N0 ≈ 10log10(amp²/(2σ²)/T_coh) ≈ 51.4 dB-Hz
+    expect = 10 * np.log10(amp ** 2 / (2 * sigma ** 2) / 1e-3)
+    assert abs(np.median(cn0) - expect) < 3.0
+
+
+def test_acquisition_table_format():
+    class A:
+        sv = np.array([3, 16])
+        snr_db = np.array([18.1, 26.4])
+        doppler_hz = np.array([1000.0, 0.0])
+        fine_freq_hz = np.array([4580990.0, 4579695.0])
+        code_delay = np.array([3683, 26051])
+
+    txt = format_acquisition_table(A(), 4.58e6)
+    assert "3683" in txt and "26.43" not in txt
+    assert len(txt.splitlines()) == 3

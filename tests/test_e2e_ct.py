@@ -1,0 +1,79 @@
+"""End-to-end pipeline test: synthetic geometry capture → acquisition →
+tracking → nav decode → WLS positioning, validated against the true
+antenna position (the reference's verification method, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from gps_sdr_tpu.geo.coords import llh2xyz, xyz2enu
+from gps_sdr_tpu.pipeline import Receiver
+
+from tests import scenario
+
+
+@pytest.fixture(scope="module")
+def receiver():
+    src = scenario.build_scenario_source()
+    rx = Receiver(scenario.CFG, src, artifact_dir=scenario.CACHE_DIR)
+    return rx
+
+
+def test_acquisition_finds_constellation(receiver):
+    acq = receiver.acquisition()
+    assert set(scenario.SCN_PRNS).issubset(set(int(s) for s in acq.sv))
+
+
+@pytest.fixture(scope="module")
+def decoded(receiver):
+    receiver.track_for_eph(n_ms=scenario.DURATION_MS - 200)
+    return receiver.decode(start_offset_ms=200)
+
+
+def test_ephemeris_decoded_for_all(decoded):
+    eph, sbf = decoded
+    for prn in scenario.SCN_PRNS:
+        assert eph[prn].updateflag == 1, f"PRN {prn} eph incomplete"
+        assert abs(eph[prn].sqrta[0] - scenario.BASE_EPH["sqrta"]) < 1e-4
+        assert eph[prn].toe[0] == scenario.BASE_EPH["toe"]
+
+
+def test_usable_svs(receiver, decoded):
+    assert set(receiver.usable_svs()) == set(scenario.SCN_PRNS)
+
+
+@pytest.fixture(scope="module")
+def navsol(receiver, decoded):
+    truth = np.asarray(llh2xyz(np.asarray(scenario.TRUTH_LLH)))
+    init = truth + np.array([3000.0, -2000.0, 1500.0])  # bad initial guess
+    rec, nav = receiver.ct_position(n_ms=4000, init_pos_ecef=init)
+    return nav
+
+
+def test_wls_position_accuracy(navsol):
+    truth = np.asarray(llh2xyz(np.asarray(scenario.TRUTH_LLH)))
+    err = np.linalg.norm(navsol.usr_pos[2:] - truth, axis=1)
+    assert len(err) >= 50, f"only {len(err)} epochs"
+    assert np.median(err) < 10.0, f"median position error {np.median(err):.2f} m"
+    assert np.max(err) < 40.0, f"max position error {np.max(err):.2f} m"
+
+
+def test_wls_velocity_static(navsol):
+    v = np.linalg.norm(navsol.usr_vel[2:], axis=1)
+    assert np.median(v) < 1.0, f"median velocity {np.median(v):.2f} m/s"
+
+
+def test_clock_estimates(navsol):
+    # the fitted Doppler-LS clock drift equals −c·(fractional clock
+    # drift): a fast receiver clock lowers every measured carrier freq
+    from gps_sdr_tpu.config import C_LIGHT
+    drift = np.median(navsol.clk_drift_ms[2:])
+    assert abs(drift + scenario.CLK_DRIFT_SPS * C_LIGHT) < 1.0, drift
+
+
+def test_dop_reasonable(navsol):
+    assert np.all(np.isfinite(navsol.dop))
+    assert np.all(navsol.dop[:, 0] < 20)  # GDOP sane for 5-SV geometry
+
+
+def test_elevations_above_mask(navsol):
+    assert np.all(navsol.sat_el_deg[2:] > 10.0)

@@ -1,0 +1,59 @@
+"""End-to-end vector-tracking (VDFLL + EKF) test on the geometry scenario,
+warm-started from the CT stage like the reference (SDR_main.m:77-99)."""
+
+import numpy as np
+import pytest
+
+from gps_sdr_tpu.geo.coords import llh2xyz
+from gps_sdr_tpu.pipeline import Receiver
+
+from tests import scenario
+
+
+@pytest.fixture(scope="module")
+def vt_result():
+    src = scenario.build_scenario_source()
+    rx = Receiver(scenario.CFG, src, artifact_dir=scenario.CACHE_DIR)
+    truth = np.asarray(llh2xyz(np.asarray(scenario.TRUTH_LLH)))
+    init = truth + np.array([3000.0, -2000.0, 1500.0])
+    trk, sol = rx.vt_position(n_ms=3000, ct_n_ms=4000, init_pos_ecef=init)
+    return trk, sol, truth
+
+
+def test_vt_position_accuracy(vt_result):
+    _, sol, truth = vt_result
+    err = np.linalg.norm(sol.usr_pos - truth, axis=1)
+    tail = err[500:]
+    assert np.median(tail) < 10.0, f"median VT error {np.median(tail):.2f} m"
+    assert np.max(tail) < 50.0, f"max VT error {np.max(tail):.2f} m"
+
+
+def test_vt_velocity_static(vt_result):
+    _, sol, _ = vt_result
+    v = np.linalg.norm(sol.usr_vel[500:], axis=1)
+    assert np.median(v) < 1.0, f"median VT velocity {np.median(v):.2f} m/s"
+
+
+def test_vt_innovations_bounded(vt_result):
+    _, sol, _ = vt_result
+    n2 = sol.innovation.shape[1]
+    pr_inno = sol.innovation[500:, :n2 // 2]
+    assert np.median(np.abs(pr_inno)) < 10.0
+    assert np.all(np.isfinite(sol.innovation))
+
+
+def test_vt_code_loop_closed_by_nav(vt_result):
+    trk, _, _ = vt_result
+    # the vector loop drives codeFreq from the nav solution: deltaPr must
+    # track the true range rates (hundreds of m/s) after the first ms
+    assert np.all(np.abs(trk.delta_pr[10:]) < 1500.0)
+    assert np.std(trk.delta_pr[500:], axis=0).max() < 50.0
+
+
+def test_vt_diagnostics_recorded(vt_result):
+    trk, sol, _ = vt_result
+    T = sol.usr_pos.shape[0]
+    n_ch = trk.code_freq.shape[1]
+    assert sol.kalman_gain.shape == (T, 8, 2 * n_ch)
+    assert sol.state_cov_diag.shape == (T, 8)
+    assert np.all(sol.state_cov_diag > 0)
