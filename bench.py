@@ -20,26 +20,53 @@ def bench_acquisition(reps: int = 3):
     import jax.numpy as jnp
 
     from gps_sdr_tpu.acquisition import (acquisition_power_grid,
-                                         doppler_carriers, sampled_codes)
+                                         acquisition_power_grid_pow2,
+                                         doppler_carriers, next_pow2,
+                                         sampled_codes, _use_pow2)
     from gps_sdr_tpu.config import ReceiverConfig
 
     cfg = ReceiverConfig()  # Opensky shape: S=58000, F=41, B=20
     S = cfg.signal.samples_per_ms
     B = cfg.acq.n_noncoherent_ms
     rng = np.random.default_rng(0)
-    raw = (rng.integers(-64, 64, size=(B, S))
-           + 1j * rng.integers(-64, 64, size=(B, S))).astype(np.complex64)
-    blocks = jnp.asarray(raw)
-    carriers = jnp.asarray(doppler_carriers(cfg))
-    code_fft = jnp.asarray(np.fft.fft(
-        sampled_codes(cfg, range(1, 33))).astype(np.complex64))
+    if _use_pow2("auto"):
+        raw = (rng.integers(-64, 64, size=(B, 2 * S))
+               + 1j * rng.integers(-64, 64, size=(B, 2 * S))
+               ).astype(np.complex64)
+        blocks = jnp.asarray(raw)
+        carriers = jnp.asarray(doppler_carriers(cfg, 2 * S))
+        fft_len = next_pow2(2 * S)
+        code_fft = jnp.asarray(np.fft.fft(
+            sampled_codes(cfg, range(1, 33)), n=fft_len).astype(np.complex64))
 
-    out = acquisition_power_grid(blocks, carriers, code_fft)
-    jax.block_until_ready(out)  # compile + warm-up
+        @jax.jit
+        def run():
+            # reduce on device: fetching the 300 MB grid itself hits
+            # UNIMPLEMENTED on the hosted backend; the checksum depends on
+            # every element so nothing is dead-code-eliminated
+            return jnp.sum(acquisition_power_grid_pow2(
+                blocks, carriers, code_fft, fft_len, S), axis=(1, 2))
+    else:
+        raw = (rng.integers(-64, 64, size=(B, S))
+               + 1j * rng.integers(-64, 64, size=(B, S))).astype(np.complex64)
+        blocks = jnp.asarray(raw)
+        carriers = jnp.asarray(doppler_carriers(cfg))
+        code_fft = jnp.asarray(np.fft.fft(
+            sampled_codes(cfg, range(1, 33))).astype(np.complex64))
+
+        @jax.jit
+        def run():
+            return jnp.sum(acquisition_power_grid(blocks, carriers, code_fft),
+                           axis=(1, 2))
+
+    out = run()
+    np.asarray(out)  # compile + warm-up; readback forces sync
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = acquisition_power_grid(blocks, carriers, code_fft)
-    jax.block_until_ready(out)
+        out = run()
+    # block_until_ready may not truly block on the hosted (axon) backend;
+    # a host readback is an unambiguous fence
+    np.asarray(out)
     dt = (time.perf_counter() - t0) / reps
     if_samples = B * S  # 20 ms of IF data fully searched
     return if_samples / dt, dt
@@ -73,13 +100,13 @@ def bench_tracking(n_ch: int = 8, n_steps: int = 200, reps: int = 3):
     st, rec = track_scan(raw, jnp.int64(0), state, chip_tables, params,
                          n_steps, float(cfg.signal.fs), blk,
                          float(cfg.signal.code_freq_basis))
-    jax.block_until_ready(rec["corr"])
+    np.asarray(rec["corr"][0, 0])
     t0 = time.perf_counter()
     for _ in range(reps):
         st2, rec = track_scan(raw, jnp.int64(0), state, chip_tables, params,
                               n_steps, float(cfg.signal.fs), blk,
                               float(cfg.signal.code_freq_basis))
-    jax.block_until_ready(rec["corr"])
+    np.asarray(rec["corr"][0, 0])  # readback fence (see bench_acquisition)
     dt = (time.perf_counter() - t0) / reps
     if_samples = n_steps * S  # per-channel stream seconds of IF data
     return if_samples / dt, dt

@@ -48,11 +48,13 @@ class AcquisitionResult:
         return int(np.nonzero(self.sv == prn)[0][0])
 
 
-def doppler_carriers(cfg: ReceiverConfig) -> np.ndarray:
-    """(F, S) complex64 carrier grid exp(+i·2π(IF+fd)·k/fs), k=1..S
+def doppler_carriers(cfg: ReceiverConfig, n_samples: Optional[int] = None
+                     ) -> np.ndarray:
+    """(F, n) complex64 carrier grid exp(+i·2π(IF+fd)·k/fs), k=1..n
     (acquisition.m:41-44).  Phase accumulated in f64, wrapped, then cast."""
     sig, acq = cfg.signal, cfg.acq
-    k = np.arange(1, sig.samples_per_ms + 1, dtype=np.float64)
+    n = n_samples or sig.samples_per_ms
+    k = np.arange(1, n + 1, dtype=np.float64)
     f = np.asarray(acq.doppler_bins_hz, dtype=np.float64) + sig.f_if
     cycles = np.mod(f[:, None] * k[None, :] / sig.fs, 1.0)
     return np.exp(2j * np.pi * cycles).astype(np.complex64)
@@ -75,7 +77,8 @@ def sampled_codes(cfg: ReceiverConfig, prns: Sequence[int]) -> np.ndarray:
 def acquisition_power_grid(blocks: jnp.ndarray, carriers: jnp.ndarray,
                            code_fft: jnp.ndarray, prn_chunk: int = 8
                            ) -> jnp.ndarray:
-    """Non-coherent power accumulation over the full search grid.
+    """Non-coherent power accumulation over the full search grid —
+    circular-correlation formulation (exactly acquisition.m:53-61).
 
     blocks   (B, S) complex64 — B 1-ms sample blocks
     carriers (F, S) complex64 — Doppler carrier grid
@@ -103,35 +106,92 @@ def acquisition_power_grid(blocks: jnp.ndarray, carriers: jnp.ndarray,
     return acc[:P]
 
 
-def peak_statistics(power_pf_s: np.ndarray, cfg: ReceiverConfig):
-    """Per-PRN (snr_db, best_freq_idx, code_delay) from the power grid.
+def next_pow2(n: int) -> int:
+    return 1 << (int(n - 1)).bit_length()
 
-    SNR per acquisition.m:62-68: peak² over the mean squared off-peak power
-    of the best frequency row, excluding ±1 chip around the peak.
+
+@functools.partial(jax.jit, static_argnames=("prn_chunk", "fft_len", "s_out"))
+def acquisition_power_grid_pow2(blocks2: jnp.ndarray, carriers2: jnp.ndarray,
+                                code_fft: jnp.ndarray, fft_len: int,
+                                s_out: int, prn_chunk: int = 8
+                                ) -> jnp.ndarray:
+    """Power grid via *linear* correlation with power-of-two FFTs.
+
+    TPU XLA only supports power-of-two FFT sizes, and zero-padding breaks
+    circular correlation; instead each 1 ms block is extended with the
+    following ms (overlap-save) and linearly correlated against the
+    one-period code:  corr[j] = Σ_n code[n]·y[n+j],  j ∈ [0, S).
+
+    blocks2   (B, 2S) complex64 — blocks extended into the next ms
+    carriers2 (F, 2S) complex64
+    code_fft  (P, fft_len)      — FFT of the S-sample code, zero-padded
+    Returns (P, F, S) float32, re-indexed to the circular-path delay
+    convention (power[..., k] ↔ code epoch at sample S−k).
     """
-    sig = cfg.signal
-    P, F, S = power_pf_s.shape
-    flat = power_pf_s.reshape(P, -1)
-    arg = np.argmax(flat, axis=1)
+    P = code_fft.shape[0]
+    F = carriers2.shape[0]
+    pad = (-P) % prn_chunk
+    code_fft = jnp.pad(code_fft, ((0, pad), (0, 0)))
+    codes = code_fft.reshape(-1, prn_chunk, fft_len)
+
+    def block_step(acc, x2):
+        y = jnp.pad(x2[None, :] * carriers2, ((0, 0), (0, fft_len - x2.shape[0])))
+        yf = jnp.fft.fft(y, axis=-1)                          # (F, N)
+
+        def chunk_step(_, cf):
+            corr = jnp.fft.ifft(yf[None, :, :] * jnp.conj(cf)[:, None, :],
+                                axis=-1)[..., :s_out]
+            return None, jnp.abs(corr).astype(jnp.float32) ** 2
+
+        _, pw = jax.lax.scan(chunk_step, None, codes)
+        return acc + pw.reshape(P + pad, F, s_out), None
+
+    acc0 = jnp.zeros((P + pad, F, s_out), jnp.float32)
+    acc, _ = jax.lax.scan(block_step, acc0, blocks2)
+    # linear-path index j = epoch position p; circular convention wants
+    # power[k] with epoch at S−k  →  k = (S − j) mod S
+    acc = acc[:P]
+    k = (s_out - jnp.arange(s_out)) % s_out
+    return acc[..., k]
+
+
+@functools.partial(jax.jit, static_argnames=("chip_w",))
+def _peak_statistics_device(power: jnp.ndarray, chip_w: int):
+    """Device-side per-PRN peak pick + SNR — only (P,)-shaped statistics
+    leave the device (the full grid can be hundreds of MB).
+
+    SNR per acquisition.m:62-68: peak² over the mean squared off-peak
+    power of the best frequency row, excluding ±1 chip around the peak.
+    """
+    P, F, S = power.shape
+    flat = power.reshape(P, F * S)
+    arg = jnp.argmax(flat, axis=1)
     fbin = arg // S
     delay = arg % S
-    peak = flat[np.arange(P), arg]
-    chip_w = int(np.ceil(sig.fs / sig.code_freq_basis))
-    snr = np.empty(P)
-    for p in range(P):
-        row = power_pf_s[p, fbin[p]]
-        mask = np.ones(S, dtype=bool)
-        lo = max(0, delay[p] - chip_w + 1)
-        hi = min(S, delay[p] + chip_w)
-        mask[lo:hi] = False
-        snr[p] = 10.0 * np.log10(peak[p] ** 2 / np.mean(row[mask] ** 2))
+    peak = jnp.take_along_axis(flat, arg[:, None], axis=1)[:, 0]
+    row = power[jnp.arange(P), fbin]                     # (P, S)
+    idx = jnp.arange(S)[None, :]
+    keep = (idx <= delay[:, None] - chip_w) | (idx >= delay[:, None] + chip_w)
+    mean_off = (jnp.sum(jnp.where(keep, row, 0.0) ** 2, axis=1)
+                / jnp.sum(keep, axis=1))
+    snr = 10.0 * jnp.log10(peak ** 2 / mean_off)
     return snr, fbin, delay
 
 
+def peak_statistics(power_pf_s, cfg: ReceiverConfig):
+    """Per-PRN (snr_db, best_freq_idx, code_delay) from the power grid."""
+    chip_w = int(np.ceil(cfg.signal.fs / cfg.signal.code_freq_basis))
+    snr, fbin, delay = _peak_statistics_device(jnp.asarray(power_pf_s),
+                                               chip_w)
+    return np.asarray(snr), np.asarray(fbin), np.asarray(delay)
+
+
 def fine_doppler(long_signal: np.ndarray, prn: int, code_delay: int,
-                 cfg: ReceiverConfig) -> float:
+                 cfg: ReceiverConfig, fft_mode: str = "auto") -> float:
     """Fine carrier frequency via the ×20 zero-padded long FFT
-    (acquisition.m:102-121).  Resolution fs/(L·S·20) ≈ 5 Hz at 58 MHz."""
+    (acquisition.m:102-121).  Resolution fs/(L·S·20) ≈ 5 Hz at 58 MHz.
+    On TPU the FFT length rounds up to a power of two (spectrum zero
+    padding — unlike the search grid, this is exact)."""
     sig, acq = cfg.signal, cfg.acq
     S = sig.samples_per_ms
     L = acq.fine_fft_ms
@@ -150,6 +210,8 @@ def fine_doppler(long_signal: np.ndarray, prn: int, code_delay: int,
     start = S - int(code_delay)
     seg = np.asarray(long_signal[start:start + n], dtype=np.complex64) * code
     fftlen = n * acq.n_noncoherent_ms
+    if _use_pow2(fft_mode):
+        fftlen = next_pow2(fftlen)
     spec = jnp.abs(jnp.fft.fft(jnp.asarray(seg), fftlen))
     if cfg.file.data_type == 2:
         spec = jnp.fft.fftshift(spec)
@@ -159,27 +221,48 @@ def fine_doppler(long_signal: np.ndarray, prn: int, code_delay: int,
     return float(idx * (sig.fs / fftlen))
 
 
+def _use_pow2(fft_mode: str) -> bool:
+    if fft_mode == "auto":
+        return jax.default_backend() == "tpu"
+    return fft_mode == "pow2"
+
+
 def run_acquisition(source: IFSampleSource, cfg: ReceiverConfig,
                     prns: Optional[Sequence[int]] = None,
-                    power_fn=None) -> AcquisitionResult:
+                    power_fn=None, fft_mode: str = "auto"
+                    ) -> AcquisitionResult:
     """Full acquisition stage on one capture (acquisition.m end to end).
 
     `power_fn` overrides the grid computation (e.g. the mesh-sharded
-    version from parallel/acquisition.py).
+    version from parallel/acquisition.py).  `fft_mode` selects the
+    circular (reference-exact) or power-of-two linear-correlation grid
+    ("auto": pow2 on TPU, where XLA only supports 2^k FFT sizes).
     """
     prns = list(prns if prns is not None else cfg.acq.prn_list)
     sig, acq = cfg.signal, cfg.acq
     S = sig.samples_per_ms
     start = cfg.file.skip_ms * S
-    raw = source.read_complex(start, acq.n_noncoherent_ms * S)
-    blocks = raw.reshape(acq.n_noncoherent_ms, S)
 
-    carriers = doppler_carriers(cfg)
-    code_fft = np.fft.fft(sampled_codes(cfg, prns)).astype(np.complex64)
-
-    fn = power_fn if power_fn is not None else acquisition_power_grid
-    power = np.asarray(fn(jnp.asarray(blocks), jnp.asarray(carriers),
-                          jnp.asarray(code_fft)))
+    if power_fn is None and _use_pow2(fft_mode):
+        raw = source.read_complex(start, (acq.n_noncoherent_ms + 1) * S)
+        idx = (np.arange(acq.n_noncoherent_ms)[:, None] * S
+               + np.arange(2 * S)[None, :])
+        blocks2 = raw[idx]
+        carriers2 = doppler_carriers(cfg, 2 * S)
+        fft_len = next_pow2(2 * S)
+        code_fft = np.fft.fft(sampled_codes(cfg, prns),
+                              n=fft_len).astype(np.complex64)
+        power = acquisition_power_grid_pow2(
+            jnp.asarray(blocks2), jnp.asarray(carriers2),
+            jnp.asarray(code_fft), fft_len, S)
+    else:
+        raw = source.read_complex(start, acq.n_noncoherent_ms * S)
+        blocks = raw.reshape(acq.n_noncoherent_ms, S)
+        carriers = doppler_carriers(cfg)
+        code_fft = np.fft.fft(sampled_codes(cfg, prns)).astype(np.complex64)
+        fn = power_fn if power_fn is not None else acquisition_power_grid
+        power = fn(jnp.asarray(blocks), jnp.asarray(carriers),
+                   jnp.asarray(code_fft))
     snr, fbin, delay = peak_statistics(power, cfg)
 
     keep = snr >= acq.snr_threshold_db
@@ -188,7 +271,7 @@ def run_acquisition(source: IFSampleSource, cfg: ReceiverConfig,
     code_delay = delay[keep]
 
     long_raw = source.read_complex(start, (acq.fine_fft_ms + 1) * S)
-    fine = np.array([fine_doppler(long_raw, int(p), int(d), cfg)
+    fine = np.array([fine_doppler(long_raw, int(p), int(d), cfg, fft_mode)
                      for p, d in zip(sv, code_delay)])
     return AcquisitionResult(sv=sv, snr_db=snr[keep], doppler_hz=doppler,
                              code_delay=code_delay, fine_freq_hz=fine)

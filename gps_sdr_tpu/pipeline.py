@@ -15,6 +15,7 @@ import os
 import pickle
 from typing import Dict, Optional, Sequence
 
+import jax.numpy as jnp
 import numpy as np
 
 from gps_sdr_tpu import navdecode
@@ -133,6 +134,74 @@ class Receiver:
             self._save_records(self._path(stem), rec)
         return self._eph_records
 
+    def track_for_eph_reference(self, chunk_ms: int = 1000,
+                                min_transition_index: int = 600
+                                ) -> TrackRecords:
+        """The reference's 3-phase eph-decoding schedule (trackingCT.m):
+
+        (a) 1000 ms @ 1 ms from the acquisition pointer → detect the first
+            data-bit transition offset `countinx` (trackingCT.m:178-213)
+        (b) re-track 1000+countinx ms @ 1 ms from the same pointer
+            (trackingCT.m:215-369)
+        (c) 40000 ms @ 10 ms with negated correlator outputs, each block
+            replicated ×10 into the per-ms record (trackingCT.m:377-525)
+
+        Channels run separately because their scan lengths differ by
+        `countinx`; per-ms rows are edge-padded to a common length.
+        """
+        cfg = self.cfg
+        acq = self.acquisition()
+        S = cfg.signal.samples_per_ms
+        n1, n10 = cfg.track.ms_eph_1ms, cfg.track.ms_eph_10ms
+        per_chan = []
+        for ch, prn in enumerate(acq.sv):
+            delay = acq.code_delay[ch:ch + 1]
+            fine = acq.fine_freq_hz[ch:ch + 1]
+            # (a) detect countinx
+            st = init_track_state(cfg, delay, fine)
+            rec_a, _ = run_tracking(self.source, cfg, [int(prn)], st,
+                                    TrackParams.epl(cfg), n1,
+                                    chunk_ms=chunk_ms)
+            cnt = detect_bit_transition(rec_a.p_i[:, 0],
+                                        min_index=min_transition_index)
+            # (b) re-track 1000+countinx @ 1 ms
+            st = init_track_state(cfg, delay, fine)
+            rec_b, st_b = run_tracking(self.source, cfg, [int(prn)], st,
+                                       TrackParams.epl(cfg), n1 + cnt,
+                                       chunk_ms=chunk_ms)
+            # (c) 10 ms blocks, negated, from the re-based pointer
+            # (trackingCT.m:403: seek to ptr0 + (1000+countinx)·S)
+            ptr0 = cfg.file.skip_ms * S + S - int(delay[0]) + 1
+            st_c = st_b._replace(
+                ptr=jnp.asarray([ptr0 + (n1 + cnt) * S], jnp.int64))
+            rec_c, _ = run_tracking(
+                self.source, cfg, [int(prn)], st_c,
+                TrackParams.epl(cfg, pdi_ms=10, negate_iq=True),
+                n10, chunk_ms=chunk_ms)
+            # replicate the 10 ms records ×10 into per-ms rows
+            parts = []
+            for f in _REC_FIELDS:
+                b = getattr(rec_b, f)
+                c = np.repeat(getattr(rec_c, f), 10, axis=0)
+                parts.append(np.concatenate([b, c]))
+            per_chan.append((cnt, TrackRecords(*parts)))
+        t_max = max(r.corr.shape[0] for _, r in per_chan)
+        merged = []
+        for f in _REC_FIELDS:
+            rows = []
+            for _, r in per_chan:
+                a = getattr(r, f)
+                pad = t_max - a.shape[0]
+                if pad:
+                    a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+                rows.append(a[:, 0])
+            merged.append(np.stack(rows, axis=1))
+        self._eph_records = TrackRecords(*merged)
+        if self.dir:
+            self._save_records(self._path(f"tckeph_{cfg.file.name}.npz"),
+                               self._eph_records)
+        return self._eph_records
+
     def decode(self, start_offset_ms: int = 3000):
         """Stage 3 (SDR_main.m:54): nav decode → ephemerides + sbf."""
         if self._eph is not None:
@@ -170,6 +239,11 @@ class Receiver:
         stem_n = f"navct_{tag}_{self.cfg.file.name}.pkl"
         eph, sbf = self.decode()
         pos_svs = self.usable_svs()
+        if len(pos_svs) < 4:
+            raise ValueError(
+                f"only {len(pos_svs)} SVs with complete ephemeris "
+                f"({pos_svs}); positioning needs >= 4 — capture too "
+                "short (< ~31 s of nav data) or signals too weak")
         acq = self.acquisition()
         if init_pos_ecef is None:
             init_pos_ecef = np.asarray(llh2xyz(np.asarray(

@@ -207,7 +207,12 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
         H = H.at[:n_ch, 0:3].set(-a).at[:n_ch, 6].set(1.0)
         H = H.at[n_ch:, 3:6].set(-a).at[n_ch:, 7].set(1.0)
 
-        prr_meas = -(carr_freq - f_if) * C_LIGHT / fc
+        # prr_pred = a·(Vest−Vs) = −ṙ_est, so the matching measurement is
+        # +(carrFreq−IF)·c/fc = −ṙ − c·drift + sv_clk_rate; the EKF's
+        # clock-drift state then converges to +c·(fractional clock drift)
+        # — the OPPOSITE sign convention from the WLS dtRV it warm-starts
+        # from (the filter re-converges within a few hundred ms).
+        prr_meas = (carr_freq - f_if) * C_LIGHT / fc
         prr_pred = jnp.sum((est_vel[None, :] - svp["vel"]) * a, axis=-1)
         z_prr = prr_pred - prr_meas - clk_drift + svp["clk_rate_ms"]
         z = jnp.concatenate([z_pr, z_prr])

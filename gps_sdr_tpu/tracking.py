@@ -178,10 +178,13 @@ def correlate_block(raw: jnp.ndarray, chunk_start, ptr, rem_chip, code_freq,
     x = jax.lax.dynamic_slice(raw, (offset,), (blk,))
     k = jnp.arange(blk, dtype=jnp.int32)
     mask = k < num.astype(jnp.int32)
-    x = jnp.where(mask, x, 0.0 + 0.0j)
+    czero = jnp.zeros((), dtype=x.dtype)  # keep constants complex64 — a
+    # weak c128 literal crashes the TPU compiler under x64
+    x = jnp.where(mask, x, czero)
     num_f = num.astype(jnp.float64)
     if remove_dc:
-        x = jnp.where(mask, x - jnp.sum(x) / num_f, 0.0 + 0.0j)
+        dc = (jnp.sum(x) / num_f).astype(x.dtype)
+        x = jnp.where(mask, x - dc, czero)
 
     # carrier mix — Q32 phase accumulator, exact wrap mod one cycle
     carr_fp = jnp.round(carr_freq / fs * Q32).astype(jnp.int64).astype(jnp.int32)
@@ -339,6 +342,15 @@ def run_tracking(source: IFSampleSource, cfg: ReceiverConfig, prns,
     chip_tables = jnp.asarray(
         np.stack([ca_code_table()[p - 1] for p in prns]), jnp.float32)
 
+    if len(prns) == 0:
+        raise ValueError("no channels to track (empty PRN list)")
+    # fail fast when the capture is too short (the reference prints
+    # 'Not enough raw data' and aborts, trackingCT.m:108-112)
+    need = int(np.max(np.asarray(state.ptr))) + (n_ms + 2) * S
+    if need > source.n_samples:
+        raise ValueError(
+            f"capture too short: tracking {n_ms} ms needs ~{need} samples, "
+            f"file has {source.n_samples}")
     n_blocks_total = n_ms // params.pdi_ms
     blocks_per_chunk = max(1, chunk_ms // params.pdi_ms)
     parts = []

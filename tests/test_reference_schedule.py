@@ -1,0 +1,64 @@
+"""Reference 3-phase eph-tracking schedule (trackingCT.m) on synthetic data."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from gps_sdr_tpu.config import (FileConfig, ReceiverConfig, SignalConfig,
+                                TrackConfig)
+from gps_sdr_tpu.io import lnav
+from gps_sdr_tpu.io.ifdata import IFSampleSource, write_if_file
+from gps_sdr_tpu.io.synthetic import SyntheticSV, generate_if_samples
+from gps_sdr_tpu.pipeline import Receiver, detect_bit_transition
+
+CFG = ReceiverConfig(
+    file=FileConfig(name="refsched", skip_ms=1),
+    signal=SignalConfig(f_if=1.25e6, fs=5e6),
+    track=TrackConfig(ms_eph_1ms=700, ms_eph_10ms=800),
+)
+
+EPH = dict(
+    sqrta=5153.6413, ecc=0.00122963, m0=2.14587329, omega0=1.25789432,
+    i0=0.96679784, w=-0.89245321, deltan=4.3267e-09, omegadot=-7.2345e-09,
+    idot=-4.2e-10, cuc=1.5272e-07, cus=2.3842e-07, crc=287.46875,
+    crs=-2.59375, cic=-7.45058e-09, cis=1.3039e-08, toe=388800.0,
+    toc=388800.0, af0=1.8364e-04, af1=2.0464e-12, af2=0.0,
+    tgd=-7.4506e-09, iodc=23, iode=23, health=0, ura=0)
+
+
+def test_detect_bit_transition():
+    # bit edge at ms 607 (0-based), bits alternate every 20 ms after
+    p = np.ones(800)
+    for k, b in enumerate([1, -1, 1, 1, -1, 1, -1, -1]):
+        p[607 + 20 * k: 607 + 20 * (k + 1)] = b * 100
+    p[:607] = 100
+    cnt = detect_bit_transition(p, min_index=600)
+    # reference: countinx = mod(1-based edge index, 20) − 1
+    assert cnt == (608 % 20) - 1
+
+
+def test_reference_schedule_runs_and_decodes_bits(tmp_path):
+    bits = lnav.encode_frames(EPH, 2239, 388800.0, 13)
+    svs = [SyntheticSV(prn=9, amplitude=2.5, doppler_hz=987.0,
+                       code_delay_samples=1500.0, nav_bits=bits),
+           SyntheticSV(prn=23, amplitude=2.2, doppler_hz=-2100.0,
+                       code_delay_samples=100.0, nav_bits=bits)]
+    dur = CFG.file.skip_ms + CFG.track.ms_eph_1ms + CFG.track.ms_eph_10ms + 60
+    iq = generate_if_samples(CFG, svs, duration_ms=dur, noise_std=8.0, seed=9)
+    path = str(tmp_path / "refsched.bin")
+    write_if_file(path, iq, CFG.file)
+    rx = Receiver(CFG, IFSampleSource(path, CFG.file))
+    rec = rx.track_for_eph_reference(min_transition_index=300)
+    T, N = rec.p_i.shape
+    # countinx may be −1 (mod(i,20)−1, trackingCT.m:207)
+    assert N == 2 and T >= CFG.track.ms_eph_1ms + CFG.track.ms_eph_10ms - 1
+    # phase (c) records are ×10 replicated
+    tail = rec.num_sample[-40:, 0]
+    assert np.all(np.abs(tail - 10 * CFG.signal.samples_per_ms) < 100)
+    assert len(np.unique(tail)) <= 4
+    # negated-output quirk: the 10 ms phase still carries data bits; check
+    # the 1 ms phase bits match the encoder stream
+    p1 = rec.p_i[100:CFG.track.ms_eph_1ms, 0]
+    votes = np.sign(p1[:len(p1) // 20 * 20].reshape(-1, 20).sum(1))
+    assert np.abs(votes).mean() > 0.95
