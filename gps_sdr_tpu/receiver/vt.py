@@ -24,9 +24,9 @@ blocks, jitted end to end.  Per step:
     the reference's clamps (…:445-467)
 
 Sign note: the reference computes prr_measured = (carrFreq+IF)·c/Fc
-(…:380) which embeds a front-end-specific convention; this implementation
-uses the physically consistent ṙ_meas = −(carrFreq − IF)·c/fc so the
-measurement model matches H = [0 −a 0 1] for any IF.
+(…:380), which embeds a front-end-specific convention; this implementation
+uses +(carrFreq − IF)·c/fc, which matches prr_pred = a·(Vest−Vs) = −ṙ and
+the H rows [0 −a 0 1] for any IF (derivation at the prr_meas assignment).
 """
 
 from __future__ import annotations
@@ -80,6 +80,9 @@ class VTState(NamedTuple):
 class VTParams:
     pdi_ms: int = 1
     taps: Tuple[float, ...] = (0.5, 0.0, -0.5)  # VT E/P/L (…:230-232)
+    i_early: int = 0
+    i_prompt: int = 1
+    i_late: int = 2
     pll_bw_hz: float = 15.0
     pll_damping: float = 0.707
     pll_gain: float = 0.25
@@ -95,6 +98,16 @@ class VTParams:
     r_prr_max: float = 400.0
     r_min: float = 0.01
     remove_dc: bool = False
+
+    @staticmethod
+    def multicorr(**kw) -> "VTParams":
+        """29-tap grid 0.7:-0.05:-0.7 with the loop on ±0.5/P taps
+        (trackingVT_POS_updated.m:29,230-232; multicorrelator variant
+        records the full bank, trackingVT_POS_updated_multicorrelator.m)."""
+        grid = tuple(round(0.7 - 0.05 * i, 4) for i in range(29))
+        defaults = dict(taps=grid, i_early=4, i_prompt=14, i_late=24)
+        defaults.update(kw)
+        return VTParams(**defaults)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -175,9 +188,9 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
         corr, num2, rem_new, phase_new = jax.vmap(chan_corr)(
             st.ptr, st.rem_chip, code_freq, st.carr_freq, st.phase_fp,
             chip_tables, num)
-        e_i, e_q = corr[:, 0, 0], corr[:, 0, 1]
-        p_i, p_q = corr[:, 1, 0], corr[:, 1, 1]
-        l_i, l_q = corr[:, 2, 0], corr[:, 2, 1]
+        e_i, e_q = corr[:, params.i_early, 0], corr[:, params.i_early, 1]
+        p_i, p_q = corr[:, params.i_prompt, 0], corr[:, params.i_prompt, 1]
+        l_i, l_q = corr[:, params.i_late, 0], corr[:, params.i_late, 1]
 
         # --- scalar PLL (…:307-313) ---
         safe_pi = jnp.where(p_i == 0, 1e-30, p_i)
