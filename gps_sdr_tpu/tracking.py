@@ -219,8 +219,11 @@ def track_scan(raw: jnp.ndarray, chunk_start: jnp.ndarray, state: TrackState,
                fs: float, blk: int, code_freq_basis: float = 1.023e6):
     """Track all channels for `n_steps` coherent blocks within one chunk.
 
-    raw          (L,) complex64 device chunk
-    chunk_start  int64 absolute sample index of raw[0]
+    raw          (L,) complex64 device chunk shared by all channels, or
+                 (N, L) per-channel windows (time-segmented tracking,
+                 where channel pointers span the whole capture)
+    chunk_start  int64 absolute sample index of raw[0] — scalar, or (N,)
+                 when raw is per-channel
     chip_tables  (N, 1023) float32
     Returns (new_state, records) with records as (T, N, ...) arrays.
     """
@@ -233,10 +236,13 @@ def track_scan(raw: jnp.ndarray, chunk_start: jnp.ndarray, state: TrackState,
     dt = params.loop_dt_s
     sign = params.negate_iq and -1.0 or 1.0
 
+    per_channel_raw = raw.ndim == 2
+
     def channel_step(ptr, rem_chip, code_freq, carr_freq, carr_basis,
-                     phase_fp, dll_nco, dll_last, pll_nco, pll_last, chips):
+                     phase_fp, dll_nco, dll_last, pll_nco, pll_last, chips,
+                     raw_c, start_c):
         corr, num, rem_new, phase_new = correlate_block(
-            raw, chunk_start, ptr, rem_chip, code_freq, carr_freq, phase_fp,
+            raw_c, start_c, ptr, rem_chip, code_freq, carr_freq, phase_fp,
             chips, taps, fs, n_chips, blk, params.rounding, params.remove_dc)
         corr = corr * jnp.float32(sign)
         e_i, e_q = corr[params.i_early, 0], corr[params.i_early, 1]
@@ -270,12 +276,15 @@ def track_scan(raw: jnp.ndarray, chunk_start: jnp.ndarray, state: TrackState,
         return (ptr_new, rem_new, code_freq_new, carr_freq_new, carr_basis,
                 phase_new, dll, code_err, pll, carr_err), rec
 
-    vstep = jax.vmap(channel_step)
+    raw_axis = 0 if per_channel_raw else None
+    vstep = jax.vmap(channel_step,
+                     in_axes=(0,) * 11 + (raw_axis, raw_axis))
 
     def scan_step(st: TrackState, _):
         out, rec = vstep(st.ptr, st.rem_chip, st.code_freq, st.carr_freq,
                          st.carr_freq_basis, st.phase_fp, st.dll_nco,
-                         st.dll_last, st.pll_nco, st.pll_last, chip_tables)
+                         st.dll_last, st.pll_nco, st.pll_last, chip_tables,
+                         raw, chunk_start)
         return TrackState(*out), rec
 
     new_state, records = jax.lax.scan(scan_step, state, None, length=n_steps)
@@ -330,7 +339,8 @@ class TrackRecords:
 
 def run_tracking(source: IFSampleSource, cfg: ReceiverConfig, prns,
                  state: TrackState, params: TrackParams, n_ms: int,
-                 chunk_ms: int = 1000) -> Tuple[TrackRecords, TrackState]:
+                 chunk_ms: int = 1000, per_channel_io: bool = False
+                 ) -> Tuple[TrackRecords, TrackState]:
     """Host driver: stream chunks to device, run the jitted scan per chunk.
 
     `prns` orders the channels; `state` comes from `init_track_state` or a
@@ -357,12 +367,21 @@ def run_tracking(source: IFSampleSource, cfg: ReceiverConfig, prns,
     done = 0
     while done < n_blocks_total:
         nb = min(blocks_per_chunk, n_blocks_total - done)
-        ptr_min = int(np.min(np.asarray(state.ptr)))
-        ptr_max = int(np.max(np.asarray(state.ptr)))
-        length = (ptr_max - ptr_min) + nb * params.pdi_ms * S + blk + 64
-        raw = jnp.asarray(source.read_complex(ptr_min, length,
-                                              remove_dc=False))
-        state, rec = track_scan(raw, jnp.int64(ptr_min), state, chip_tables,
+        ptrs = np.asarray(state.ptr)
+        ptr_min = int(np.min(ptrs))
+        ptr_max = int(np.max(ptrs))
+        win = nb * params.pdi_ms * S + blk + 64
+        if per_channel_io:
+            # channels far apart (time-segmented): per-channel windows
+            raw = jnp.asarray(np.stack([
+                source.read_complex(int(p), win, remove_dc=False)
+                for p in ptrs]))
+            start = jnp.asarray(ptrs, jnp.int64)
+        else:
+            raw = jnp.asarray(source.read_complex(
+                ptr_min, (ptr_max - ptr_min) + win, remove_dc=False))
+            start = jnp.int64(ptr_min)
+        state, rec = track_scan(raw, start, state, chip_tables,
                                 params, nb, fs, blk,
                                 float(cfg.signal.code_freq_basis))
         parts.append(TrackRecords(
