@@ -20,7 +20,7 @@ def bench_acquisition(reps: int = 3):
     import jax.numpy as jnp
 
     from gps_sdr_tpu.acquisition import (acquisition_power_grid,
-                                         acquisition_power_grid_pow2,
+                                         acquisition_power_grid_real,
                                          doppler_carriers, next_pow2,
                                          sampled_codes, _use_pow2)
     from gps_sdr_tpu.config import ReceiverConfig
@@ -30,21 +30,22 @@ def bench_acquisition(reps: int = 3):
     B = cfg.acq.n_noncoherent_ms
     rng = np.random.default_rng(0)
     if _use_pow2("auto"):
-        raw = (rng.integers(-64, 64, size=(B, 2 * S))
-               + 1j * rng.integers(-64, 64, size=(B, 2 * S))
-               ).astype(np.complex64)
-        blocks = jnp.asarray(raw)
-        carriers = jnp.asarray(doppler_carriers(cfg, 2 * S))
+        blocks = jnp.asarray(rng.integers(
+            -64, 64, size=(B, 2 * S, 2)).astype(np.float32))
+        c = doppler_carriers(cfg, 2 * S)
+        carriers = jnp.asarray(np.stack([c.real, c.imag], -1
+                                        ).astype(np.float32))
         fft_len = next_pow2(2 * S)
-        code_fft = jnp.asarray(np.fft.fft(
-            sampled_codes(cfg, range(1, 33)), n=fft_len).astype(np.complex64))
+        cf = np.fft.fft(sampled_codes(cfg, range(1, 33)), n=fft_len)
+        code_fft = jnp.asarray(np.stack([cf.real, cf.imag], -1
+                                        ).astype(np.float32))
 
         @jax.jit
         def run():
-            # reduce on device: fetching the 300 MB grid itself hits
-            # UNIMPLEMENTED on the hosted backend; the checksum depends on
-            # every element so nothing is dead-code-eliminated
-            return jnp.sum(acquisition_power_grid_pow2(
+            # reduce on device (fetching the 300 MB grid is slow and can
+            # be unimplemented on hosted backends); the checksum depends
+            # on every element so nothing is dead-code-eliminated
+            return jnp.sum(acquisition_power_grid_real(
                 blocks, carriers, code_fft, fft_len, S), axis=(1, 2))
     else:
         raw = (rng.integers(-64, 64, size=(B, S))
@@ -92,10 +93,8 @@ def bench_tracking(n_ch: int = 8, n_steps: int = 200, reps: int = 3):
     state = state._replace(ptr=jnp.zeros(n_ch, jnp.int64))
     chip_tables = jnp.asarray(
         np.stack([ca_code_table()[p] for p in range(n_ch)]), jnp.float32)
-    raw = jnp.asarray(
-        (rng.integers(-64, 64, size=(n_steps + 2) * S + blk)
-         + 1j * rng.integers(-64, 64, size=(n_steps + 2) * S + blk)
-         ).astype(np.complex64))
+    raw = jnp.asarray(rng.integers(
+        -64, 64, size=((n_steps + 2) * S + blk, 2)).astype(np.float32))
 
     st, rec = track_scan(raw, jnp.int64(0), state, chip_tables, params,
                          n_steps, float(cfg.signal.fs), blk,

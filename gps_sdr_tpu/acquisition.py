@@ -155,6 +155,61 @@ def acquisition_power_grid_pow2(blocks2: jnp.ndarray, carriers2: jnp.ndarray,
     return acc[..., k]
 
 
+@functools.partial(jax.jit, static_argnames=("prn_chunk", "fft_len", "s_out"))
+def acquisition_power_grid_real(blocks2: jnp.ndarray, carriers2: jnp.ndarray,
+                                code_fft: jnp.ndarray, fft_len: int,
+                                s_out: int, prn_chunk: int = 8
+                                ) -> jnp.ndarray:
+    """The pow2 linear-correlation grid on float32 I/Q pairs only.
+
+    The hosted TPU backend implements no complex-typed ops; here every
+    complex quantity is an explicit [re, im] pair and the FFTs are the
+    four-step matmul DFT (ops/realfft.py) — the whole search grid becomes
+    MXU work.
+
+    blocks2   (B, 2S, 2) float32 — blocks extended into the next ms
+    carriers2 (F, 2S, 2) float32
+    code_fft  (P, fft_len, 2)    — DFT of the S-sample code, zero-padded
+    Returns (P, F, S) float32, same delay convention as the other grids.
+    """
+    from gps_sdr_tpu.ops.realfft import fft_real, ifft_real
+
+    P = code_fft.shape[0]
+    F = carriers2.shape[0]
+    two_s = blocks2.shape[1]
+    pad = (-P) % prn_chunk
+    code_fft = jnp.pad(code_fft, ((0, pad), (0, 0), (0, 0)))
+    codes = code_fft.reshape(-1, prn_chunk, fft_len, 2)
+
+    cr, ci = carriers2[..., 0], carriers2[..., 1]
+
+    def block_step(acc, x2):
+        xr, xi = x2[None, :, 0], x2[None, :, 1]
+        yr = jnp.pad(xr * cr - xi * ci, ((0, 0), (0, fft_len - two_s)))
+        yi = jnp.pad(xr * ci + xi * cr, ((0, 0), (0, fft_len - two_s)))
+        yfr, yfi = fft_real(yr, yi)                        # (F, N)
+
+        def chunk_step(_, cf):
+            cfr, cfi = cf[:, None, :, 0], cf[:, None, :, 1]
+            # y · conj(code)
+            pr = yfr[None] * cfr + yfi[None] * cfi
+            pi = yfi[None] * cfr - yfr[None] * cfi
+            zr, zi = ifft_real(pr.reshape(-1, fft_len),
+                               pi.reshape(-1, fft_len))
+            zr = zr[:, :s_out].reshape(prn_chunk, F, s_out)
+            zi = zi[:, :s_out].reshape(prn_chunk, F, s_out)
+            return None, zr * zr + zi * zi
+
+        _, pw = jax.lax.scan(chunk_step, None, codes)
+        return acc + pw.reshape(P + pad, F, s_out), None
+
+    acc0 = jnp.zeros((P + pad, F, s_out), jnp.float32)
+    acc, _ = jax.lax.scan(block_step, acc0, blocks2)
+    acc = acc[:P]
+    k = (s_out - jnp.arange(s_out)) % s_out
+    return acc[..., k]
+
+
 @functools.partial(jax.jit, static_argnames=("chip_w",))
 def _peak_statistics_device(power: jnp.ndarray, chip_w: int):
     """Device-side per-PRN peak pick + SNR — only (P,)-shaped statistics
@@ -212,12 +267,13 @@ def fine_doppler(long_signal: np.ndarray, prn: int, code_delay: int,
     fftlen = n * acq.n_noncoherent_ms
     if _use_pow2(fft_mode):
         fftlen = next_pow2(fftlen)
-    spec = jnp.abs(jnp.fft.fft(jnp.asarray(seg), fftlen))
+    # host FFT: a once-per-SV spectrum; keeps complex math off the device
+    spec = np.abs(np.fft.fft(seg, fftlen))
     if cfg.file.data_type == 2:
-        spec = jnp.fft.fftshift(spec)
-        idx = int(jnp.argmax(spec)) + 1
+        spec = np.fft.fftshift(spec)
+        idx = int(np.argmax(spec)) + 1
         return float(-idx * (sig.fs / fftlen) + sig.fs / 2.0)
-    idx = int(jnp.argmax(spec)) + 1
+    idx = int(np.argmax(spec)) + 1
     return float(idx * (sig.fs / fftlen))
 
 
@@ -252,9 +308,15 @@ def run_acquisition(source: IFSampleSource, cfg: ReceiverConfig,
         fft_len = next_pow2(2 * S)
         code_fft = np.fft.fft(sampled_codes(cfg, prns),
                               n=fft_len).astype(np.complex64)
-        power = acquisition_power_grid_pow2(
-            jnp.asarray(blocks2), jnp.asarray(carriers2),
-            jnp.asarray(code_fft), fft_len, S)
+        # real-pair formulation (no complex device buffers)
+        power = acquisition_power_grid_real(
+            jnp.asarray(np.stack([blocks2.real, blocks2.imag], -1
+                                 ).astype(np.float32)),
+            jnp.asarray(np.stack([carriers2.real, carriers2.imag], -1
+                                 ).astype(np.float32)),
+            jnp.asarray(np.stack([code_fft.real, code_fft.imag], -1
+                                 ).astype(np.float32)),
+            fft_len, S)
     else:
         raw = source.read_complex(start, acq.n_noncoherent_ms * S)
         blocks = raw.reshape(acq.n_noncoherent_ms, S)

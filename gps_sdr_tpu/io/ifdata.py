@@ -76,6 +76,16 @@ class IFSampleSource:
             q = q - q.mean()
         return (i + 1j * q).astype(np.complex64)
 
+    def read_iq_pairs(self, start_sample: int, n_samples: int,
+                      remove_dc: bool | None = None) -> np.ndarray:
+        """(n, 2) float32 [re, im] pairs — the device staging format.
+
+        The hosted TPU backend implements no complex-typed ops, so the
+        whole compute path carries I/Q as float32 pairs.
+        """
+        c = self.read_complex(start_sample, n_samples, remove_dc)
+        return np.stack([c.real, c.imag], axis=-1).astype(np.float32)
+
 
 def write_if_file(path: str, iq: np.ndarray, file_cfg: FileConfig) -> None:
     """Write complex samples as an interleaved capture file."""

@@ -33,6 +33,6 @@ def sharded_track_scan(mesh: Mesh, params: TrackParams, n_steps: int,
                     absolute_sample=P(None, AXIS))
     fn = jax.shard_map(
         inner, mesh=mesh,
-        in_specs=(P(None), P(), state_spec, P(AXIS, None)),
+        in_specs=(P(None, None), P(), state_spec, P(AXIS, None)),
         out_specs=(state_spec, rec_spec), check_vma=False)
     return jax.jit(fn)

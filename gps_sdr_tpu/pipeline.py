@@ -114,9 +114,14 @@ class Receiver:
         return self._acq
 
     def track_for_eph(self, n_ms: Optional[int] = None,
-                      chunk_ms: int = 1000) -> TrackRecords:
+                      chunk_ms: int = 1000,
+                      n_segments: int = 1) -> TrackRecords:
         """Stage 2 (SDR_main.m:38): 1 ms scalar tracking long enough to
-        decode the ephemerides (≥ ~31 s of bits)."""
+        decode the ephemerides (≥ ~31 s of bits).
+
+        `n_segments > 1` uses overlap-save time parallelism
+        (parallel/time_segments.py): D× shorter scan, D× wider batch.
+        """
         if self._eph_records is not None:
             return self._eph_records
         stem = f"tckeph_{self.cfg.file.name}.npz"
@@ -125,10 +130,19 @@ class Receiver:
             return self._eph_records
         acq = self.acquisition()
         n_ms = n_ms or (self.cfg.track.ms_eph_1ms + self.cfg.track.ms_eph_10ms)
-        state = init_track_state(self.cfg, acq.code_delay, acq.fine_freq_hz)
         params = TrackParams.epl(self.cfg)
-        rec, _ = run_tracking(self.source, self.cfg, list(acq.sv), state,
-                              params, n_ms, chunk_ms=chunk_ms)
+        if n_segments > 1:
+            from gps_sdr_tpu.parallel.time_segments import (
+                run_tracking_segmented)
+            rec = run_tracking_segmented(
+                self.source, self.cfg, list(acq.sv), acq.code_delay,
+                acq.fine_freq_hz, params, n_ms, n_segments=n_segments,
+                chunk_ms=chunk_ms)
+        else:
+            state = init_track_state(self.cfg, acq.code_delay,
+                                     acq.fine_freq_hz)
+            rec, _ = run_tracking(self.source, self.cfg, list(acq.sv),
+                                  state, params, n_ms, chunk_ms=chunk_ms)
         self._eph_records = rec
         if self.dir:
             self._save_records(self._path(stem), rec)

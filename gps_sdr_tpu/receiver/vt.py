@@ -375,8 +375,8 @@ def run_vector_tracking(source: IFSampleSource, cfg: ReceiverConfig,
         ptr_min = int(np.min(np.asarray(state.ptr)))
         ptr_max = int(np.max(np.asarray(state.ptr)))
         length = (ptr_max - ptr_min) + nb * params.pdi_ms * S + blk + 64
-        raw = jnp.asarray(source.read_complex(ptr_min, length,
-                                              remove_dc=False))
+        raw = jnp.asarray(source.read_iq_pairs(ptr_min, length,
+                                               remove_dc=False))
         state, rec = vt_scan(raw, jnp.int64(ptr_min), state, chip_tables,
                              eph_struct, alpha, beta, params, nb, fs, blk,
                              float(cfg.signal.f_if), float(cfg.signal.fc),

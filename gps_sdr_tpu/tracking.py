@@ -175,25 +175,26 @@ def correlate_block(raw: jnp.ndarray, chunk_start, ptr, rem_chip, code_freq,
         num = (jnp.ceil(n_exact) if rounding == "ceil"
                else jnp.round(n_exact)).astype(jnp.int64)
     offset = (ptr - chunk_start).astype(jnp.int32)
-    x = jax.lax.dynamic_slice(raw, (offset,), (blk,))
+    # raw is (L, 2) float32 [re, im] — the hosted TPU backend implements
+    # no complex-typed ops, so the whole path carries I/Q pairs
+    x = jax.lax.dynamic_slice(raw, (offset, jnp.int32(0)), (blk, 2))
     k = jnp.arange(blk, dtype=jnp.int32)
-    mask = k < num.astype(jnp.int32)
-    czero = jnp.zeros((), dtype=x.dtype)  # keep constants complex64 — a
-    # weak c128 literal crashes the TPU compiler under x64
-    x = jnp.where(mask, x, czero)
+    mask = (k < num.astype(jnp.int32))[:, None]
+    x = jnp.where(mask, x, 0.0)
     num_f = num.astype(jnp.float64)
     if remove_dc:
-        dc = (jnp.sum(x) / num_f).astype(x.dtype)
-        x = jnp.where(mask, x - dc, czero)
+        dc = (jnp.sum(x, axis=0) / num_f.astype(jnp.float32))[None, :]
+        x = jnp.where(mask, x - dc, 0.0)
 
     # carrier mix — Q32 phase accumulator, exact wrap mod one cycle
     carr_fp = jnp.round(carr_freq / fs * Q32).astype(jnp.int64).astype(jnp.int32)
     ph = phase_fp + k * carr_fp            # int32 wraparound == mod 2^32
     theta = ph.astype(jnp.float32) * jnp.float32(2.0 * jnp.pi / Q32)
-    carr = jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
-    mixed = x * carr
-    iq = jnp.stack([mixed.imag, mixed.real], axis=-1)  # I=imag Q=real
-                                                       # (trackingCT.m:113)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    xr, xi = x[:, 0], x[:, 1]
+    # mixed = x·e^{iθ}: I = imag = xr·s + xi·c, Q = real = xr·c − xi·s
+    # (trackingCT.m:113: Inphase = imag(raw·carrsig))
+    iq = jnp.stack([xr * s + xi * c, xr * c - xi * s], axis=-1)
 
     # code taps — Q32 chip-index accumulator; chip = (ceil(t)−1) mod 1023
     step_fp = jnp.round(step * Q32).astype(jnp.int64)
@@ -219,8 +220,8 @@ def track_scan(raw: jnp.ndarray, chunk_start: jnp.ndarray, state: TrackState,
                fs: float, blk: int, code_freq_basis: float = 1.023e6):
     """Track all channels for `n_steps` coherent blocks within one chunk.
 
-    raw          (L,) complex64 device chunk shared by all channels, or
-                 (N, L) per-channel windows (time-segmented tracking,
+    raw          (L, 2) float32 [re, im] chunk shared by all channels, or
+                 (N, L, 2) per-channel windows (time-segmented tracking,
                  where channel pointers span the whole capture)
     chunk_start  int64 absolute sample index of raw[0] — scalar, or (N,)
                  when raw is per-channel
@@ -236,7 +237,7 @@ def track_scan(raw: jnp.ndarray, chunk_start: jnp.ndarray, state: TrackState,
     dt = params.loop_dt_s
     sign = params.negate_iq and -1.0 or 1.0
 
-    per_channel_raw = raw.ndim == 2
+    per_channel_raw = raw.ndim == 3
 
     def channel_step(ptr, rem_chip, code_freq, carr_freq, carr_basis,
                      phase_fp, dll_nco, dll_last, pll_nco, pll_last, chips,
@@ -374,11 +375,11 @@ def run_tracking(source: IFSampleSource, cfg: ReceiverConfig, prns,
         if per_channel_io:
             # channels far apart (time-segmented): per-channel windows
             raw = jnp.asarray(np.stack([
-                source.read_complex(int(p), win, remove_dc=False)
+                source.read_iq_pairs(int(p), win, remove_dc=False)
                 for p in ptrs]))
             start = jnp.asarray(ptrs, jnp.int64)
         else:
-            raw = jnp.asarray(source.read_complex(
+            raw = jnp.asarray(source.read_iq_pairs(
                 ptr_min, (ptr_max - ptr_min) + win, remove_dc=False))
             start = jnp.int64(ptr_min)
         state, rec = track_scan(raw, start, state, chip_tables,

@@ -45,3 +45,33 @@ def test_pow2_matches_circular(source):
         # fine Doppler: pow2 pads the spectrum FFT → ≤ bin-level difference
         assert abs(a_circ.fine_freq_hz[ic] - a_pow2.fine_freq_hz[ip]) < 20.0
         assert abs(a_circ.snr_db[ic] - a_pow2.snr_db[ip]) < 2.0
+
+
+def test_real_grid_matches_complex(source):
+    """The float-pair / matmul-DFT grid equals the complex pow2 grid."""
+    import jax.numpy as jnp
+    from gps_sdr_tpu.acquisition import (acquisition_power_grid_pow2,
+                                         acquisition_power_grid_real,
+                                         doppler_carriers, next_pow2,
+                                         sampled_codes)
+    S = CFG.signal.samples_per_ms
+    B = 6
+    raw = source.read_complex(CFG.file.skip_ms * S, (B + 1) * S)
+    idx = np.arange(B)[:, None] * S + np.arange(2 * S)[None, :]
+    blocks2 = raw[idx]
+    carriers2 = doppler_carriers(CFG, 2 * S)
+    fft_len = next_pow2(2 * S)
+    code_fft = np.fft.fft(sampled_codes(CFG, [3, 16, 9, 22]),
+                          n=fft_len).astype(np.complex64)
+    ref = np.asarray(acquisition_power_grid_pow2(
+        jnp.asarray(blocks2), jnp.asarray(carriers2),
+        jnp.asarray(code_fft), fft_len, S, prn_chunk=2))
+    got = np.asarray(acquisition_power_grid_real(
+        jnp.asarray(np.stack([blocks2.real, blocks2.imag], -1
+                             ).astype(np.float32)),
+        jnp.asarray(np.stack([carriers2.real, carriers2.imag], -1
+                             ).astype(np.float32)),
+        jnp.asarray(np.stack([code_fft.real, code_fft.imag], -1
+                             ).astype(np.float32)),
+        fft_len, S, prn_chunk=2))
+    np.testing.assert_allclose(got, ref, rtol=3e-3, atol=3e-3 * ref.max())

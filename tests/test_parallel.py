@@ -52,9 +52,8 @@ def test_sharded_tracking_matches_single_device():
                              np.full(n_ch, CFG.signal.f_if + 500.0))
     chip_tables = jnp.asarray(np.stack(
         [ca_code_table()[p] for p in range(n_ch)]), jnp.float32)
-    raw = jnp.asarray((rng.normal(size=(n_steps + 2) * S + blk)
-                       + 1j * rng.normal(size=(n_steps + 2) * S + blk)
-                       ).astype(np.complex64))
+    raw = jnp.asarray(rng.normal(
+        size=((n_steps + 2) * S + blk, 2)).astype(np.float32))
     ref_state, ref_rec = track_scan(
         raw, jnp.int64(0), state, chip_tables, params, n_steps,
         float(CFG.signal.fs), blk, float(CFG.signal.code_freq_basis))
