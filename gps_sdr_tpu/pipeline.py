@@ -349,3 +349,19 @@ class Receiver:
             with open(self._path(stem), "wb") as f:
                 pickle.dump((trk, sol), f)
         return trk, sol
+
+    def report(self, out_dir: str, vt: bool = True) -> None:
+        """Stage 7: Task 1-5 result plots (Plot_task_1..5.m equivalents)."""
+        from gps_sdr_tpu.analysis import plots
+
+        acq = self.acquisition()
+        eph, _ = self.decode()
+        pos_svs = self.usable_svs()
+        truth = np.asarray(llh2xyz(np.asarray(self.cfg.solu.truth_llh)))
+        rec, nav = self.ct_position()
+        vt_sol = None
+        if vt:
+            _, vt_sol = self.vt_position()
+        plots.save_all(acq=acq, records=rec, prns=pos_svs, eph=eph,
+                       nav=nav, vt_sol=vt_sol, truth_ecef=truth,
+                       out_dir=out_dir)

@@ -84,6 +84,14 @@ class TrackParams:
     loop_dt_s: float = 1e-3        # the reference integrates with 0.001
                                    # regardless of pdi except phase (b)
     remove_dc: bool = False        # int16 front-ends
+    replica: str = "nco"           # "nco": exact per-sample Q32 chip
+                                   # indexing (gather); "shift": nominal-
+                                   # rate code table addressed by one
+                                   # fractional block shift per tap —
+                                   # contiguous slices + linear interp,
+                                   # no gathers (the TPU fast path; the
+                                   # within-block code-Doppler drift it
+                                   # neglects is < 0.2 samples per ms)
 
     @staticmethod
     def epl(cfg: ReceiverConfig, pdi_ms: int = 1, **kw) -> "TrackParams":
@@ -158,10 +166,27 @@ def init_track_state(cfg: ReceiverConfig, code_delays: np.ndarray,
     )
 
 
+def build_shift_tables(cfg: ReceiverConfig, prns, blk: int):
+    """(N, T_len) nominal-rate sampled code tables for replica="shift".
+
+    T[m] = chips[(ceil((m − margin)·fchip/fs) − 1) mod 1023]: the code at
+    sample offset (m − margin) from a block start at zero code phase.
+    """
+    spc = cfg.signal.fs / cfg.signal.code_freq_basis
+    margin = int(np.ceil(2.5 * spc))
+    t_len = blk + 2 * margin + 8
+    m = np.arange(t_len, dtype=np.float64) - margin
+    chip_idx = (np.ceil(m * (1.0 / spc)).astype(np.int64) - 1) % CODE_LENGTH
+    tables = np.stack([ca_code_table()[p - 1][chip_idx] for p in prns])
+    return tables.astype(np.float32), margin
+
+
 def correlate_block(raw: jnp.ndarray, chunk_start, ptr, rem_chip, code_freq,
                     carr_freq, phase_fp, chips: jnp.ndarray,
                     taps: jnp.ndarray, fs: float, n_chips: int, blk: int,
-                    rounding: str, remove_dc: bool, num=None):
+                    rounding: str, remove_dc: bool, num=None,
+                    replica_mode: str = "nco", margin: int = 0,
+                    code_freq_basis: float = 1.023e6):
     """One channel × one coherent block: fixed-shape correlator bank.
 
     If `num` is given, the block length is externally imposed (the VT loop
@@ -196,14 +221,29 @@ def correlate_block(raw: jnp.ndarray, chunk_start, ptr, rem_chip, code_freq,
     # (trackingCT.m:113: Inphase = imag(raw·carrsig))
     iq = jnp.stack([xr * s + xi * c, xr * c - xi * s], axis=-1)
 
-    # code taps — Q32 chip-index accumulator; chip = (ceil(t)−1) mod 1023
-    step_fp = jnp.round(step * Q32).astype(jnp.int64)
-    base_fp = jnp.round(rem_chip * Q32).astype(jnp.int64)
-    tap_fp = jnp.round(taps * Q32).astype(jnp.int64)          # (ntaps,)
-    idx = ((base_fp + tap_fp)[:, None]
-           + k.astype(jnp.int64)[None, :] * step_fp - 1) >> 32
-    chip_idx = jnp.remainder(idx, CODE_LENGTH).astype(jnp.int32)
-    code_vals = chips[chip_idx]                               # (ntaps, blk)
+    if replica_mode == "shift":
+        # chips is a (T_len,) nominal-rate sampled table with `margin`
+        # lead-in samples; position each tap by one fractional shift
+        step_nom = code_freq_basis / fs
+        pos = margin + (rem_chip + taps) / step_nom           # (ntaps,) f64
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        frac = (pos - jnp.floor(pos)).astype(jnp.float32)
+
+        def tap_slice(i):
+            return jax.lax.dynamic_slice(chips, (i,), (blk + 1,))
+
+        sl = jax.vmap(tap_slice)(i0)                          # (ntaps, blk+1)
+        code_vals = sl[:, :blk] * (1.0 - frac)[:, None] \
+            + sl[:, 1:] * frac[:, None]
+    else:
+        # exact Q32 chip-index accumulator; chip = (ceil(t)−1) mod 1023
+        step_fp = jnp.round(step * Q32).astype(jnp.int64)
+        base_fp = jnp.round(rem_chip * Q32).astype(jnp.int64)
+        tap_fp = jnp.round(taps * Q32).astype(jnp.int64)      # (ntaps,)
+        idx = ((base_fp + tap_fp)[:, None]
+               + k.astype(jnp.int64)[None, :] * step_fp - 1) >> 32
+        chip_idx = jnp.remainder(idx, CODE_LENGTH).astype(jnp.int32)
+        code_vals = chips[chip_idx]                           # (ntaps, blk)
     corr = jnp.einsum("tb,bc->tc", code_vals, iq,
                       preferred_element_type=jnp.float32)
 
@@ -214,10 +254,12 @@ def correlate_block(raw: jnp.ndarray, chunk_start, ptr, rem_chip, code_freq,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "n_steps", "fs", "blk", "code_freq_basis"))
+    static_argnames=("params", "n_steps", "fs", "blk", "code_freq_basis",
+                     "margin"))
 def track_scan(raw: jnp.ndarray, chunk_start: jnp.ndarray, state: TrackState,
                chip_tables: jnp.ndarray, params: TrackParams, n_steps: int,
-               fs: float, blk: int, code_freq_basis: float = 1.023e6):
+               fs: float, blk: int, code_freq_basis: float = 1.023e6,
+               margin: int = 0):
     """Track all channels for `n_steps` coherent blocks within one chunk.
 
     raw          (L, 2) float32 [re, im] chunk shared by all channels, or
@@ -244,7 +286,9 @@ def track_scan(raw: jnp.ndarray, chunk_start: jnp.ndarray, state: TrackState,
                      raw_c, start_c):
         corr, num, rem_new, phase_new = correlate_block(
             raw_c, start_c, ptr, rem_chip, code_freq, carr_freq, phase_fp,
-            chips, taps, fs, n_chips, blk, params.rounding, params.remove_dc)
+            chips, taps, fs, n_chips, blk, params.rounding, params.remove_dc,
+            replica_mode=params.replica, margin=margin,
+            code_freq_basis=code_freq_basis)
         corr = corr * jnp.float32(sign)
         e_i, e_q = corr[params.i_early, 0], corr[params.i_early, 1]
         p_i, p_q = corr[params.i_prompt, 0], corr[params.i_prompt, 1]
@@ -350,8 +394,13 @@ def run_tracking(source: IFSampleSource, cfg: ReceiverConfig, prns,
     S = cfg.signal.samples_per_ms
     fs = float(cfg.signal.fs)
     blk = S * params.pdi_ms + 256
-    chip_tables = jnp.asarray(
-        np.stack([ca_code_table()[p - 1] for p in prns]), jnp.float32)
+    margin = 0
+    if params.replica == "shift":
+        chip_tables, margin = build_shift_tables(cfg, prns, blk)
+        chip_tables = jnp.asarray(chip_tables)
+    else:
+        chip_tables = jnp.asarray(
+            np.stack([ca_code_table()[p - 1] for p in prns]), jnp.float32)
 
     if len(prns) == 0:
         raise ValueError("no channels to track (empty PRN list)")
@@ -384,7 +433,7 @@ def run_tracking(source: IFSampleSource, cfg: ReceiverConfig, prns,
             start = jnp.int64(ptr_min)
         state, rec = track_scan(raw, start, state, chip_tables,
                                 params, nb, fs, blk,
-                                float(cfg.signal.code_freq_basis))
+                                float(cfg.signal.code_freq_basis), margin)
         parts.append(TrackRecords(
             corr=np.asarray(rec["corr"]),
             code_err=np.asarray(rec["code_err"]),

@@ -125,3 +125,36 @@ def test_absolute_sample_monotonic(tracked):
     assert np.all(d > 0)
     S = CFG.signal.samples_per_ms
     assert np.all(np.abs(d - S) < 60)  # within ±1 chip of nominal
+
+
+def test_shift_replica_matches_nco(tracked):
+    """The fast nominal-rate shift replica tracks equivalently to the
+    exact Q32 NCO replica."""
+    from gps_sdr_tpu.io.ifdata import IFSampleSource
+    from gps_sdr_tpu.io.synthetic import generate_if_samples
+    svs, rec_nco, _ = tracked
+    src = make_source(svs, 1505)
+    S = CFG.signal.samples_per_ms
+    code_delays, fine = [], []
+    for sv in svs:
+        f_code = CFG.signal.code_freq_basis * (1 + sv.doppler_hz / CFG.signal.fc)
+        next_epoch = sv.code_delay_samples % (1023 / f_code * CFG.signal.fs)
+        code_delays.append(int(round((S - next_epoch) % S)))
+        fine.append(CFG.signal.f_if + sv.doppler_hz + 3.0)
+    state = init_track_state(CFG, np.array(code_delays), np.array(fine))
+    params = TrackParams.epl(CFG, replica="shift")
+    rec, _ = run_tracking(src, CFG, [sv.prn for sv in svs], state,
+                          params, 1500)
+    for ch, sv in enumerate(svs):
+        truth = CFG.signal.f_if + sv.doppler_hz
+        assert abs(np.mean(rec.carr_freq[-200:, ch]) - truth) < 2.0
+        truth_code = CFG.signal.code_freq_basis * (1 + sv.doppler_hz / CFG.signal.fc)
+        # this test's fs is exactly 4 samples/chip; the interpolated
+        # replica's DLL limit-cycles a little wider there → 1.5 Hz bound
+        assert abs(np.mean(rec.code_freq[-200:, ch]) - truth_code) < 1.5
+    # prompt correlators agree with the exact replica within a percent
+    a = rec.p_i[-400:]
+    b = rec_nco.p_i[-400:]
+    rel = np.abs(a - b) / np.maximum(np.abs(b), 1.0)
+    assert np.median(rel) < 0.04, np.median(rel)
+    assert np.mean(np.sign(a) == np.sign(b)) > 0.999
