@@ -96,7 +96,7 @@ def bench_tracking(n_ch: int = 8, n_steps: int = 1000, reps: int = 3):
 
     cfg = ReceiverConfig()
     S = cfg.signal.samples_per_ms
-    blk = S + 256
+    blk = -(-(S + 256) // 128) * 128
     params = TrackParams.epl(cfg, replica="shift")
     rng = np.random.default_rng(1)
     state = init_track_state(

@@ -362,7 +362,7 @@ def run_vector_tracking(source: IFSampleSource, cfg: ReceiverConfig,
     """Host driver for the VT scan: chunk the capture, collect records."""
     S = cfg.signal.samples_per_ms
     fs = float(cfg.signal.fs)
-    blk = S * params.pdi_ms + 256
+    blk = -(-(S * params.pdi_ms + 256) // 128) * 128
     chip_tables = jnp.asarray(
         np.stack([ca_code_table()[p - 1] for p in prns]), jnp.float32)
     alpha = jnp.asarray(cfg.cmn.iono_alpha, jnp.float64)

@@ -211,11 +211,22 @@ def correlate_block(raw: jnp.ndarray, chunk_start, ptr, rem_chip, code_freq,
         dc = (jnp.sum(x, axis=0) / num_f.astype(jnp.float32))[None, :]
         x = jnp.where(mask, x - dc, 0.0)
 
-    # carrier mix — Q32 phase accumulator, exact wrap mod one cycle
+    # carrier mix — Q32 phase accumulator, exact wrap mod one cycle.
+    # θ_k = θ_q + θ_r with k = 128·q + r, both phases exact in Q32, and
+    # the carrier formed as a phasor outer product: 455+128 sin/cos
+    # evaluations instead of 58k (unfused wideband transcendentals were
+    # ~75% of the tracking step time on TPU).
     carr_fp = jnp.round(carr_freq / fs * Q32).astype(jnp.int64).astype(jnp.int32)
-    ph = phase_fp + k * carr_fp            # int32 wraparound == mod 2^32
-    theta = ph.astype(jnp.float32) * jnp.float32(2.0 * jnp.pi / Q32)
-    c, s = jnp.cos(theta), jnp.sin(theta)
+    nq = blk // 128
+    to_rad = jnp.float32(2.0 * jnp.pi / Q32)
+    phq = (phase_fp + jnp.arange(nq, dtype=jnp.int32) * (carr_fp * 128)
+           ).astype(jnp.float32) * to_rad
+    phr = (jnp.arange(128, dtype=jnp.int32) * carr_fp
+           ).astype(jnp.float32) * to_rad
+    uc, us = jnp.cos(phq), jnp.sin(phq)
+    vc, vs = jnp.cos(phr), jnp.sin(phr)
+    c = (uc[:, None] * vc[None, :] - us[:, None] * vs[None, :]).reshape(blk)
+    s = (uc[:, None] * vs[None, :] + us[:, None] * vc[None, :]).reshape(blk)
     xr, xi = x[:, 0], x[:, 1]
     # mixed = x·e^{iθ}: I = imag = xr·s + xi·c, Q = real = xr·c − xi·s
     # (trackingCT.m:113: Inphase = imag(raw·carrsig))
@@ -393,7 +404,8 @@ def run_tracking(source: IFSampleSource, cfg: ReceiverConfig, prns,
     """
     S = cfg.signal.samples_per_ms
     fs = float(cfg.signal.fs)
-    blk = S * params.pdi_ms + 256
+    # blk multiple of 128: the carrier outer-product factorization needs it
+    blk = -(-(S * params.pdi_ms + 256) // 128) * 128
     margin = 0
     if params.replica == "shift":
         chip_tables, margin = build_shift_tables(cfg, prns, blk)

@@ -46,7 +46,7 @@ def test_sharded_tracking_matches_single_device():
     rng = np.random.default_rng(1)
     S = CFG.signal.samples_per_ms
     n_ch, n_steps = 8, 6
-    blk = S + 256
+    blk = -(-(S + 256) // 128) * 128
     params = TrackParams.epl(CFG)
     state = init_track_state(CFG, np.arange(n_ch, dtype=np.int64) * 10,
                              np.full(n_ch, CFG.signal.f_if + 500.0))
