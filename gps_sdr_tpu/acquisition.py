@@ -290,16 +290,21 @@ def run_acquisition(source: IFSampleSource, cfg: ReceiverConfig,
     """Full acquisition stage on one capture (acquisition.m end to end).
 
     `power_fn` overrides the grid computation (e.g. the mesh-sharded
-    version from parallel/acquisition.py).  `fft_mode` selects the
-    circular (reference-exact) or power-of-two linear-correlation grid
-    ("auto": pow2 on TPU, where XLA only supports 2^k FFT sizes).
+    versions from parallel/acquisition.py) and composes with the branch
+    selected by `fft_mode`: on the pow2 path it is called as
+    power_fn(blocks2, carriers2, code_fft, fft_len, s_out) with the
+    real-pair arrays of `acquisition_power_grid_real`; on the circular
+    path as power_fn(blocks, carriers, code_fft) with complex arrays.
+    `fft_mode` selects the circular (reference-exact) or power-of-two
+    linear-correlation grid ("auto": pow2 on TPU, where XLA only
+    supports 2^k FFT sizes).
     """
     prns = list(prns if prns is not None else cfg.acq.prn_list)
     sig, acq = cfg.signal, cfg.acq
     S = sig.samples_per_ms
     start = cfg.file.skip_ms * S
 
-    if power_fn is None and _use_pow2(fft_mode):
+    if _use_pow2(fft_mode):
         raw = source.read_complex(start, (acq.n_noncoherent_ms + 1) * S)
         idx = (np.arange(acq.n_noncoherent_ms)[:, None] * S
                + np.arange(2 * S)[None, :])
@@ -309,7 +314,8 @@ def run_acquisition(source: IFSampleSource, cfg: ReceiverConfig,
         code_fft = np.fft.fft(sampled_codes(cfg, prns),
                               n=fft_len).astype(np.complex64)
         # real-pair formulation (no complex device buffers)
-        power = acquisition_power_grid_real(
+        fn = power_fn if power_fn is not None else acquisition_power_grid_real
+        power = fn(
             jnp.asarray(np.stack([blocks2.real, blocks2.imag], -1
                                  ).astype(np.float32)),
             jnp.asarray(np.stack([carriers2.real, carriers2.imag], -1
