@@ -160,55 +160,65 @@ class Receiver:
         (c) 40000 ms @ 10 ms with negated correlator outputs, each block
             replicated ×10 into the per-ms record (trackingCT.m:377-525)
 
-        Channels run separately because their scan lengths differ by
-        `countinx`; per-ms rows are edge-padded to a common length.
+        All channels run in ONE batched scan per phase (the reference
+        loops channels in MATLAB; trackingCT.m:73-525): phase (b) tracks
+        every channel for n1 + max(countinx) blocks and each channel
+        keeps only its first n1 + countinx rows; phase (c) resumes the
+        per-channel loop state from the (b) records at each channel's
+        own switch row (tracking.state_from_records) with the re-based
+        pointer ptr0 + (1000+countinx)·S (trackingCT.m:403).
         """
         cfg = self.cfg
         acq = self.acquisition()
         S = cfg.signal.samples_per_ms
         n1, n10 = cfg.track.ms_eph_1ms, cfg.track.ms_eph_10ms
-        per_chan = []
-        for ch, prn in enumerate(acq.sv):
-            delay = acq.code_delay[ch:ch + 1]
-            fine = acq.fine_freq_hz[ch:ch + 1]
-            # (a) detect countinx
-            st = init_track_state(cfg, delay, fine)
-            rec_a, _ = run_tracking(self.source, cfg, [int(prn)], st,
-                                    TrackParams.epl(cfg), n1,
-                                    chunk_ms=chunk_ms)
-            cnt = detect_bit_transition(rec_a.p_i[:, 0],
-                                        min_index=min_transition_index)
-            # (b) re-track 1000+countinx @ 1 ms
-            st = init_track_state(cfg, delay, fine)
-            rec_b, st_b = run_tracking(self.source, cfg, [int(prn)], st,
-                                       TrackParams.epl(cfg), n1 + cnt,
-                                       chunk_ms=chunk_ms)
-            # (c) 10 ms blocks, negated, from the re-based pointer
-            # (trackingCT.m:403: seek to ptr0 + (1000+countinx)·S)
-            ptr0 = cfg.file.skip_ms * S + S - int(delay[0]) + 1
-            st_c = st_b._replace(
-                ptr=jnp.asarray([ptr0 + (n1 + cnt) * S], jnp.int64))
-            rec_c, _ = run_tracking(
-                self.source, cfg, [int(prn)], st_c,
-                TrackParams.epl(cfg, pdi_ms=10, negate_iq=True),
-                n10, chunk_ms=chunk_ms)
-            # replicate the 10 ms records ×10 into per-ms rows
-            parts = []
-            for f in _REC_FIELDS:
-                b = getattr(rec_b, f)
-                c = np.repeat(getattr(rec_c, f), 10, axis=0)
-                parts.append(np.concatenate([b, c]))
-            per_chan.append((cnt, TrackRecords(*parts)))
-        t_max = max(r.corr.shape[0] for _, r in per_chan)
+        prns = [int(p) for p in acq.sv]
+        n_ch = len(prns)
+        params1 = TrackParams.epl(cfg)
+
+        # (a) batched 1 ms tracking → countinx per channel
+        st = init_track_state(cfg, acq.code_delay, acq.fine_freq_hz)
+        rec_a, _ = run_tracking(self.source, cfg, prns, st, params1, n1,
+                                chunk_ms=chunk_ms)
+        cnt = np.array([detect_bit_transition(
+            rec_a.p_i[:, ch], min_index=min_transition_index)
+            for ch in range(n_ch)])
+        cnt_max = int(cnt.max())
+
+        # (b) batched re-track to the latest switch point
+        st = init_track_state(cfg, acq.code_delay, acq.fine_freq_hz)
+        rec_b, _ = run_tracking(self.source, cfg, prns, st, params1,
+                                n1 + cnt_max, chunk_ms=chunk_ms)
+
+        # (c) batched 10 ms blocks, negated, from per-channel re-based
+        # pointers; loop state resumed at each channel's switch row
+        from gps_sdr_tpu.tracking import state_from_records
+        st_c = state_from_records(rec_b, n1 + cnt - 1, acq.fine_freq_hz,
+                                  params1.dll_freq_sign,
+                                  cfg.signal.code_freq_basis)
+        ptr0 = (cfg.file.skip_ms * S + S
+                - acq.code_delay.astype(np.int64) + 1)
+        st_c = st_c._replace(
+            ptr=jnp.asarray(ptr0 + (n1 + cnt) * S, jnp.int64))
+        rec_c, _ = run_tracking(
+            self.source, cfg, prns, st_c,
+            TrackParams.epl(cfg, pdi_ms=10, negate_iq=True),
+            n10, chunk_ms=chunk_ms)
+
+        # merge: per channel, its own (b) prefix + ×10-replicated (c)
+        # rows, edge-padded to the common length
+        t_max = n1 + cnt_max + n10
         merged = []
         for f in _REC_FIELDS:
+            b, c = getattr(rec_b, f), np.repeat(getattr(rec_c, f), 10,
+                                                axis=0)
             rows = []
-            for _, r in per_chan:
-                a = getattr(r, f)
+            for ch in range(n_ch):
+                a = np.concatenate([b[:n1 + cnt[ch], ch], c[:, ch]])
                 pad = t_max - a.shape[0]
                 if pad:
                     a = np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
-                rows.append(a[:, 0])
+                rows.append(a)
             merged.append(np.stack(rows, axis=1))
         self._eph_records = TrackRecords(*merged)
         if self.dir:

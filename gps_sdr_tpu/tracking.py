@@ -89,9 +89,13 @@ class TrackParams:
                                    # rate code table addressed by one
                                    # fractional block shift per tap —
                                    # contiguous slices + linear interp,
-                                   # no gathers (the TPU fast path; the
-                                   # within-block code-Doppler drift it
-                                   # neglects is < 0.2 samples per ms)
+                                   # no gathers (the within-block code-
+                                   # Doppler drift both neglect is < 0.2
+                                   # samples per ms); "pallas": the shift
+                                   # replica fused into one VMEM-resident
+                                   # TPU kernel (ops/pallas_correlator.py
+                                   # — carrier + mix + taps + reduce in a
+                                   # single pass, the TPU fast path)
 
     @staticmethod
     def epl(cfg: ReceiverConfig, pdi_ms: int = 1, **kw) -> "TrackParams":
@@ -179,6 +183,24 @@ def build_shift_tables(cfg: ReceiverConfig, prns, blk: int):
     chip_idx = (np.ceil(m * (1.0 / spc)).astype(np.int64) - 1) % CODE_LENGTH
     tables = np.stack([ca_code_table()[p - 1][chip_idx] for p in prns])
     return tables.astype(np.float32), margin
+
+
+def build_shift_tables_2d(cfg: ReceiverConfig, prns, blk: int):
+    """(N, nq+16, 128) row-major shift tables for replica="pallas".
+
+    Same contents as :func:`build_shift_tables`, zero-padded and folded
+    into rows of 128 lanes (the kernel's VMEM layout).  The zero pad
+    never affects output: the last flat index a tap window uses is
+    i0 + blk + 1 ≤ blk + margin + ~1.7·fs/fchip + 1 < blk + 2·margin + 8
+    = T_len (rows beyond that are fetched for alignment but discarded)."""
+    tables, margin = build_shift_tables(cfg, prns, blk)
+    ntc = blk // 128 + 16
+    pad = ntc * 128 - tables.shape[1]
+    if pad < 0:
+        raise ValueError(f"shift table rows ({tables.shape[1]}) exceed the "
+                         f"pallas layout ({ntc * 128})")
+    tables = np.pad(tables, ((0, 0), (0, pad)))
+    return tables.reshape(len(tables), ntc, 128), margin
 
 
 def correlate_block(raw: jnp.ndarray, chunk_start, ptr, rem_chip, code_freq,
@@ -273,12 +295,14 @@ def track_scan(raw: jnp.ndarray, chunk_start: jnp.ndarray, state: TrackState,
                margin: int = 0):
     """Track all channels for `n_steps` coherent blocks within one chunk.
 
-    raw          (L, 2) float32 [re, im] chunk shared by all channels, or
+    raw          (L, 2) float32 [re, im] chunk shared by all channels;
                  (N, L, 2) per-channel windows (time-segmented tracking,
-                 where channel pointers span the whole capture)
+                 where channel pointers span the whole capture); or
+                 (2, L) I/Q planes when params.replica == "pallas"
     chunk_start  int64 absolute sample index of raw[0] — scalar, or (N,)
                  when raw is per-channel
-    chip_tables  (N, 1023) float32
+    chip_tables  (N, 1023) float32 for replica="nco"; the
+                 build_shift_tables[_2d] layout for "shift"/"pallas"
     Returns (new_state, records) with records as (T, N, ...) arrays.
     """
     n_chips = CODE_LENGTH * params.pdi_ms
@@ -291,24 +315,69 @@ def track_scan(raw: jnp.ndarray, chunk_start: jnp.ndarray, state: TrackState,
     sign = params.negate_iq and -1.0 or 1.0
 
     per_channel_raw = raw.ndim == 3
+    use_pallas = params.replica == "pallas"
+    if use_pallas:
+        if per_channel_raw:
+            raise ValueError("replica='pallas' does not support per-channel "
+                             "raw windows (time-segmented tracking)")
+        from gps_sdr_tpu.ops.pallas_correlator import correlator_bank
+        interpret = jax.default_backend() != "tpu"
+        n_ch = chip_tables.shape[0]
+        nq = blk // 128
+        ntaps = len(params.taps)
 
-    def channel_step(ptr, rem_chip, code_freq, carr_freq, carr_basis,
-                     phase_fp, dll_nco, dll_last, pll_nco, pll_last, chips,
-                     raw_c, start_c):
-        corr, num, rem_new, phase_new = correlate_block(
-            raw_c, start_c, ptr, rem_chip, code_freq, carr_freq, phase_fp,
-            chips, taps, fs, n_chips, blk, params.rounding, params.remove_dc,
+    def correlate_pallas(st: TrackState):
+        """Batched fused-kernel correlation; the NCO bookkeeping (num,
+        rem_chip, phase) follows correlate_block exactly."""
+        step = st.code_freq / fs
+        n_exact = (n_chips - st.rem_chip) / step
+        num = (jnp.ceil(n_exact) if params.rounding == "ceil"
+               else jnp.round(n_exact)).astype(jnp.int64)
+        off = (st.ptr - chunk_start).astype(jnp.int32)
+        xw = jax.vmap(lambda o: jax.lax.dynamic_slice(
+            raw, (jnp.int32(0), o), (2, blk)))(off)
+        xw = xw.reshape(n_ch, 2, nq, 128)
+        step_nom = code_freq_basis / fs
+        pos = margin + (st.rem_chip[:, None] + taps[None, :]) / step_nom
+        i0 = jnp.floor(pos).astype(jnp.int32)
+        frac = (pos - jnp.floor(pos)).astype(jnp.float32)
+        carr_fp = jnp.round(st.carr_freq / fs * Q32
+                            ).astype(jnp.int64).astype(jnp.int32)
+        corr = correlator_bank(xw, chip_tables, i0, frac, st.phase_fp,
+                               carr_fp, num.astype(jnp.int32), ntaps=ntaps,
+                               remove_dc=params.remove_dc,
+                               interpret=interpret)
+        num_f = num.astype(jnp.float64)
+        rem_new = num_f * step + st.rem_chip - n_chips
+        phase_new = st.phase_fp + num.astype(jnp.int32) * carr_fp
+        return corr, num, rem_new, phase_new
+
+    def correlate_xla(st: TrackState):
+        raw_axis = 0 if per_channel_raw else None
+        fn = functools.partial(
+            correlate_block, taps=taps, fs=fs, n_chips=n_chips, blk=blk,
+            rounding=params.rounding, remove_dc=params.remove_dc,
             replica_mode=params.replica, margin=margin,
             code_freq_basis=code_freq_basis)
-        corr = corr * jnp.float32(sign)
-        e_i, e_q = corr[params.i_early, 0], corr[params.i_early, 1]
-        p_i, p_q = corr[params.i_prompt, 0], corr[params.i_prompt, 1]
-        l_i, l_q = corr[params.i_late, 0], corr[params.i_late, 1]
+        return jax.vmap(
+            lambda raw_c, start_c, ptr, rem, cf, crf, pfp, chips:
+            fn(raw_c, start_c, ptr, rem, cf, crf, pfp, chips),
+            in_axes=(raw_axis, raw_axis, 0, 0, 0, 0, 0, 0))(
+            raw, chunk_start, st.ptr, st.rem_chip, st.code_freq,
+            st.carr_freq, st.phase_fp, chip_tables)
+
+    def scan_step(st: TrackState, _):
+        corr, num, rem_new, phase_new = (
+            correlate_pallas(st) if use_pallas else correlate_xla(st))
+        corr = corr * jnp.float32(sign)                 # (N, ntaps, 2)
+        e_i, e_q = corr[:, params.i_early, 0], corr[:, params.i_early, 1]
+        p_i, p_q = corr[:, params.i_prompt, 0], corr[:, params.i_prompt, 1]
+        l_i, l_q = corr[:, params.i_late, 0], corr[:, params.i_late, 1]
 
         e = jnp.sqrt(e_i * e_i + e_q * e_q).astype(jnp.float64)
         l = jnp.sqrt(l_i * l_i + l_q * l_q).astype(jnp.float64)
         code_err = 0.5 * (e - l) / jnp.maximum(e + l, 1e-30)
-        dll = dll_nco + (tau2c / tau1c) * (code_err - dll_last) \
+        dll = st.dll_nco + (tau2c / tau1c) * (code_err - st.dll_last) \
             + code_err * (dt / tau1c)
         # codeFreq = basis + sign·nco (trackingCT.m:143 vs
         # trackingCT_POS_updated.m:262)
@@ -317,11 +386,11 @@ def track_scan(raw: jnp.ndarray, chunk_start: jnp.ndarray, state: TrackState,
         safe_pi = jnp.where(p_i == 0, 1e-30, p_i)
         carr_err = (jnp.arctan(p_q / safe_pi) / (2.0 * jnp.pi)
                     ).astype(jnp.float64)
-        pll = pll_nco + (tau2r / tau1r) * (carr_err - pll_last) \
+        pll = st.pll_nco + (tau2r / tau1r) * (carr_err - st.pll_last) \
             + carr_err * (dt / tau1r)
-        carr_freq_new = carr_basis + pll
+        carr_freq_new = st.carr_freq_basis + pll
 
-        ptr_new = ptr + num
+        ptr_new = st.ptr + num
         rec = dict(corr=corr, code_err=code_err, carr_err=carr_err,
                    code_freq=code_freq_new, carr_freq=carr_freq_new,
                    num_sample=num, rem_chip=rem_new,
@@ -329,22 +398,49 @@ def track_scan(raw: jnp.ndarray, chunk_start: jnp.ndarray, state: TrackState,
                        phase_new.astype(jnp.float64) * (2.0 * jnp.pi / Q32),
                        2.0 * jnp.pi),
                    absolute_sample=ptr_new)
-        return (ptr_new, rem_new, code_freq_new, carr_freq_new, carr_basis,
-                phase_new, dll, code_err, pll, carr_err), rec
-
-    raw_axis = 0 if per_channel_raw else None
-    vstep = jax.vmap(channel_step,
-                     in_axes=(0,) * 11 + (raw_axis, raw_axis))
-
-    def scan_step(st: TrackState, _):
-        out, rec = vstep(st.ptr, st.rem_chip, st.code_freq, st.carr_freq,
-                         st.carr_freq_basis, st.phase_fp, st.dll_nco,
-                         st.dll_last, st.pll_nco, st.pll_last, chip_tables,
-                         raw, chunk_start)
-        return TrackState(*out), rec
+        new_st = TrackState(
+            ptr=ptr_new, rem_chip=rem_new, code_freq=code_freq_new,
+            carr_freq=carr_freq_new, carr_freq_basis=st.carr_freq_basis,
+            phase_fp=phase_new, dll_nco=dll, dll_last=code_err,
+            pll_nco=pll, pll_last=carr_err)
+        return new_st, rec
 
     new_state, records = jax.lax.scan(scan_step, state, None, length=n_steps)
     return new_state, records
+
+
+def state_from_records(records: "TrackRecords", rows: np.ndarray,
+                       carr_freq_basis: np.ndarray,
+                       dll_freq_sign: float = -1.0,
+                       code_freq_basis: float = 1.023e6) -> TrackState:
+    """Reconstruct the scan carry as it was after record row `rows[ch]`
+    of each channel.
+
+    The per-block records determine the full loop state: the Q32 phase
+    round-trips exactly through rem_phase, and the loop-filter
+    accumulators invert from the recorded frequencies
+    (codeFreq = basis + sign·dll ⇒ dll = sign·(codeFreq − basis);
+    carrFreq = carrBasis + pll).  This lets batched scans resume at
+    *per-channel* time offsets — the reference instead re-tracks each
+    channel separately (trackingCT.m:215-369)."""
+    n = records.absolute_sample.shape[1]
+    sel = (np.asarray(rows, np.int64), np.arange(n))
+    code_freq = records.code_freq[sel]
+    carr_freq = records.carr_freq[sel]
+    basis = np.asarray(carr_freq_basis, np.float64)
+    phase_fp = (np.round(records.rem_phase[sel] / (2.0 * np.pi) * Q32)
+                .astype(np.int64).astype(np.int32))
+    return TrackState(
+        ptr=jnp.asarray(records.absolute_sample[sel], jnp.int64),
+        rem_chip=jnp.asarray(records.rem_chip[sel]),
+        code_freq=jnp.asarray(code_freq),
+        carr_freq=jnp.asarray(carr_freq),
+        carr_freq_basis=jnp.asarray(basis),
+        phase_fp=jnp.asarray(phase_fp),
+        dll_nco=jnp.asarray(dll_freq_sign * (code_freq - code_freq_basis)),
+        dll_last=jnp.asarray(records.code_err[sel]),
+        pll_nco=jnp.asarray(carr_freq - basis),
+        pll_last=jnp.asarray(records.carr_err[sel]))
 
 
 @dataclasses.dataclass
@@ -410,6 +506,12 @@ def run_tracking(source: IFSampleSource, cfg: ReceiverConfig, prns,
     if params.replica == "shift":
         chip_tables, margin = build_shift_tables(cfg, prns, blk)
         chip_tables = jnp.asarray(chip_tables)
+    elif params.replica == "pallas":
+        if per_channel_io:
+            raise ValueError("replica='pallas' does not support "
+                             "per-channel windows")
+        chip_tables, margin = build_shift_tables_2d(cfg, prns, blk)
+        chip_tables = jnp.asarray(chip_tables)
     else:
         chip_tables = jnp.asarray(
             np.stack([ca_code_table()[p - 1] for p in prns]), jnp.float32)
@@ -439,6 +541,10 @@ def run_tracking(source: IFSampleSource, cfg: ReceiverConfig, prns,
                 source.read_iq_pairs(int(p), win, remove_dc=False)
                 for p in ptrs]))
             start = jnp.asarray(ptrs, jnp.int64)
+        elif params.replica == "pallas":
+            raw = jnp.asarray(source.read_iq_planes(
+                ptr_min, (ptr_max - ptr_min) + win, remove_dc=False))
+            start = jnp.int64(ptr_min)
         else:
             raw = jnp.asarray(source.read_iq_pairs(
                 ptr_min, (ptr_max - ptr_min) + win, remove_dc=False))

@@ -38,7 +38,8 @@ def test_detect_bit_transition():
     assert cnt == (608 % 20) - 1
 
 
-def test_reference_schedule_runs_and_decodes_bits(tmp_path):
+@pytest.fixture(scope="module")
+def source(tmp_path_factory):
     bits = lnav.encode_frames(EPH, 2239, 388800.0, 13)
     svs = [SyntheticSV(prn=9, amplitude=2.5, doppler_hz=987.0,
                        code_delay_samples=1500.0, nav_bits=bits),
@@ -46,9 +47,13 @@ def test_reference_schedule_runs_and_decodes_bits(tmp_path):
                        code_delay_samples=100.0, nav_bits=bits)]
     dur = CFG.file.skip_ms + CFG.track.ms_eph_1ms + CFG.track.ms_eph_10ms + 60
     iq = generate_if_samples(CFG, svs, duration_ms=dur, noise_std=8.0, seed=9)
-    path = str(tmp_path / "refsched.bin")
+    path = str(tmp_path_factory.mktemp("refsched") / "refsched.bin")
     write_if_file(path, iq, CFG.file)
-    rx = Receiver(CFG, IFSampleSource(path, CFG.file))
+    return IFSampleSource(path, CFG.file)
+
+
+def test_reference_schedule_runs_and_decodes_bits(source):
+    rx = Receiver(CFG, source)
     rec = rx.track_for_eph_reference(min_transition_index=300)
     T, N = rec.p_i.shape
     # countinx may be −1 (mod(i,20)−1, trackingCT.m:207)
@@ -62,3 +67,60 @@ def test_reference_schedule_runs_and_decodes_bits(tmp_path):
     p1 = rec.p_i[100:CFG.track.ms_eph_1ms, 0]
     votes = np.sign(p1[:len(p1) // 20 * 20].reshape(-1, 20).sum(1))
     assert np.abs(votes).mean() > 0.95
+
+
+def test_batched_schedule_matches_per_channel(source):
+    """The one-scan-per-phase schedule equals tracking each channel
+    separately (the reference's structure, trackingCT.m:73-525)."""
+    import jax.numpy as jnp
+
+    from gps_sdr_tpu.pipeline import _REC_FIELDS, detect_bit_transition
+    from gps_sdr_tpu.tracking import (TrackParams, TrackRecords,
+                                      init_track_state, run_tracking)
+
+    rx = Receiver(CFG, source)
+    batched = rx.track_for_eph_reference(min_transition_index=300)
+
+    # explicit per-channel 3-phase loop (the round-1 implementation)
+    acq = rx.acquisition()
+    S = CFG.signal.samples_per_ms
+    n1, n10 = CFG.track.ms_eph_1ms, CFG.track.ms_eph_10ms
+    per_chan = []
+    for ch, prn in enumerate(acq.sv):
+        delay = acq.code_delay[ch:ch + 1]
+        fine = acq.fine_freq_hz[ch:ch + 1]
+        st = init_track_state(CFG, delay, fine)
+        rec_a, _ = run_tracking(source, CFG, [int(prn)], st,
+                                TrackParams.epl(CFG), n1)
+        cnt = detect_bit_transition(rec_a.p_i[:, 0], min_index=300)
+        st = init_track_state(CFG, delay, fine)
+        rec_b, st_b = run_tracking(source, CFG, [int(prn)], st,
+                                   TrackParams.epl(CFG), n1 + cnt)
+        ptr0 = CFG.file.skip_ms * S + S - int(delay[0]) + 1
+        st_c = st_b._replace(
+            ptr=jnp.asarray([ptr0 + (n1 + cnt) * S], jnp.int64))
+        rec_c, _ = run_tracking(
+            source, CFG, [int(prn)], st_c,
+            TrackParams.epl(CFG, pdi_ms=10, negate_iq=True), n10)
+        parts = []
+        for f in _REC_FIELDS:
+            parts.append(np.concatenate(
+                [getattr(rec_b, f),
+                 np.repeat(getattr(rec_c, f), 10, axis=0)]))
+        per_chan.append(TrackRecords(*parts))
+
+    for ch, r in enumerate(per_chan):
+        t = r.corr.shape[0]
+        np.testing.assert_array_equal(batched.absolute_sample[:t, ch],
+                                      r.absolute_sample[:, 0])
+        np.testing.assert_array_equal(batched.num_sample[:t, ch],
+                                      r.num_sample[:, 0])
+        scale = np.abs(r.corr).max()
+        np.testing.assert_allclose(batched.corr[:t, ch], r.corr[:, 0],
+                                   rtol=1e-5, atol=1e-5 * scale)
+        np.testing.assert_allclose(batched.code_freq[:t, ch],
+                                   r.code_freq[:, 0], rtol=1e-12)
+        np.testing.assert_allclose(batched.carr_freq[:t, ch],
+                                   r.carr_freq[:, 0], rtol=1e-12)
+        np.testing.assert_allclose(batched.rem_chip[:t, ch],
+                                   r.rem_chip[:, 0], atol=1e-9)
