@@ -226,6 +226,22 @@ class Receiver:
                                self._eph_records)
         return self._eph_records
 
+    def countinx(self, min_transition_index: int = 600) -> np.ndarray:
+        """Per-channel first-bit-transition offsets, ordered like acq.sv
+        (the reference persists these as countinx.mat, trackingCT.m:530,
+        and the CT-POS stage keys its pdi switch on them)."""
+        acq = self.acquisition()
+        stem = f"countinx_{self.cfg.file.name}.npz"
+        if self._have(stem):
+            return np.load(self._path(stem))["countinx"]
+        rec = self.track_for_eph()
+        cnt = np.array([detect_bit_transition(
+            rec.p_i[:, ch], min_index=min_transition_index)
+            for ch in range(len(acq.sv))])
+        if self.dir:
+            np.savez(self._path(stem), sv=acq.sv, countinx=cnt)
+        return cnt
+
     def decode(self, start_offset_ms: int = 3000):
         """Stage 3 (SDR_main.m:54): nav decode → ephemerides + sbf."""
         if self._eph is not None:
@@ -249,18 +265,44 @@ class Receiver:
         eph, _ = self.decode()
         return navdecode.usable_svs(eph)
 
+    @staticmethod
+    def _init_token(init_pos_ecef) -> str:
+        if init_pos_ecef is None:
+            return "def"
+        import hashlib
+        h = hashlib.sha1(np.asarray(init_pos_ecef, np.float64).tobytes())
+        return h.hexdigest()[:8]
+
     def ct_position(self, n_ms: Optional[int] = None,
                     init_pos_ecef: Optional[np.ndarray] = None,
-                    multicorr: bool = False, chunk_ms: int = 1000):
-        """Stage 5 (SDR_main.m:115): CT tracking + WLS positioning.
+                    multicorr: Optional[bool] = None, chunk_ms: int = 1000,
+                    pdi_switch_ms: Optional[int] = None,
+                    countinx: Optional[np.ndarray] = None):
+        """Stage 5 (SDR_main.m:110-115): CT tracking + WLS positioning.
 
         Re-tracks the usable SVs with the POS correlator configuration
-        (25-tap bank if `multicorr`), then forms WLS epochs.
-        Returns (TrackRecords, NavSolutions).
+        (25-tap bank if `multicorr`; default from cmn.multicorr_ct, the
+        reference's cmn.mltCorrON(1)), then forms WLS epochs.
+
+        `pdi_switch_ms` enables the reference's per-channel coherent-
+        integration switch (trackingCT_POS_updated.m:183,294): channel
+        ch runs pdi = 1 ms for its first pdi_switch_ms + countinx[ch]
+        record rows and pdi = 10 ms after — `n_ms` then counts record
+        rows ("number of index", initParameters.m:68), not signal ms.
+        `countinx` overrides the detected offsets (ordered like the
+        usable-SV list).  Returns (TrackRecords, NavSolutions).
         """
+        cfg = self.cfg
+        if multicorr is None:
+            multicorr = cfg.cmn.multicorr_ct
+        n_ms = n_ms or cfg.track.ms_ct_pos
         tag = "mc" if multicorr else "epl"
-        stem_t = f"tckct_{tag}_{self.cfg.file.name}.npz"
-        stem_n = f"navct_{tag}_{self.cfg.file.name}.pkl"
+        key = (f"{tag}_{cfg.file.name}_{n_ms}"
+               + (f"_sw{pdi_switch_ms}" if pdi_switch_ms else "")
+               + ("" if countinx is None else
+                  "_c" + "_".join(str(int(c)) for c in countinx))
+               + f"_{self._init_token(init_pos_ecef)}")
+        stem_t, stem_n = f"tckct_{key}.npz", f"navct_{key}.pkl"
         eph, sbf = self.decode()
         pos_svs = self.usable_svs()
         if len(pos_svs) < 4:
@@ -271,22 +313,55 @@ class Receiver:
         acq = self.acquisition()
         if init_pos_ecef is None:
             init_pos_ecef = np.asarray(llh2xyz(np.asarray(
-                self.cfg.solu.truth_llh)))
+                cfg.solu.truth_llh)))
         if self._have(stem_t) and self._have(stem_n):
             with open(self._path(stem_n), "rb") as f:
                 nav = pickle.load(f)
             return self._load_records(self._path(stem_t)), nav
 
         chans = [acq.channel_index(p) for p in pos_svs]
-        state = init_track_state(self.cfg, acq.code_delay[chans],
+        state = init_track_state(cfg, acq.code_delay[chans],
                                  acq.fine_freq_hz[chans])
-        params = (TrackParams.pos_multicorr(self.cfg) if multicorr
-                  else TrackParams.pos_epl(self.cfg))
-        n_ms = n_ms or self.cfg.track.ms_ct_pos
-        rec, _ = run_tracking(self.source, self.cfg, pos_svs, state,
-                              params, n_ms, chunk_ms=chunk_ms)
-        nav = run_ct_positioning(rec, self.cfg, pos_svs, eph, sbf,
-                                 init_pos_ecef)
+        mk = (TrackParams.pos_multicorr if multicorr
+              else TrackParams.pos_epl)
+        params1 = mk(cfg)
+        if pdi_switch_ms is None:
+            rec, _ = run_tracking(self.source, cfg, pos_svs, state,
+                                  params1, n_ms, chunk_ms=chunk_ms)
+            pdi_rows: np.ndarray | int = 1
+        else:
+            from gps_sdr_tpu.tracking import state_from_records
+            cnt = np.asarray(countinx if countinx is not None
+                             else self.countinx()[chans])
+            sw = pdi_switch_ms + cnt               # (N,) rows at pdi=1
+            sw_max, sw_min = int(sw.max()), int(sw.min())
+            if n_ms <= sw_max:
+                raise ValueError(f"n_ms={n_ms} rows must exceed the last "
+                                 f"pdi switch at row {sw_max}")
+            rec1, _ = run_tracking(self.source, cfg, pos_svs, state,
+                                   params1, sw_max, chunk_ms=chunk_ms)
+            st2 = state_from_records(rec1, sw - 1,
+                                     acq.fine_freq_hz[chans],
+                                     params1.dll_freq_sign,
+                                     cfg.signal.code_freq_basis)
+            rec2, _ = run_tracking(self.source, cfg, pos_svs, st2,
+                                   mk(cfg, pdi_ms=10),
+                                   (n_ms - sw_min) * 10, chunk_ms=chunk_ms)
+            merged = []
+            n_ch = len(pos_svs)
+            for f in _REC_FIELDS:
+                a, b = getattr(rec1, f), getattr(rec2, f)
+                merged.append(np.stack(
+                    [np.concatenate([a[:sw[ch], ch], b[:n_ms - sw[ch], ch]])
+                     for ch in range(n_ch)], axis=1))
+            rec = TrackRecords(*merged, i_early=params1.i_early,
+                               i_prompt=params1.i_prompt,
+                               i_late=params1.i_late)
+            rows = np.arange(n_ms)[:, None]
+            pdi_rows = np.where(rows < sw[None, :], 1, 10)
+        nav = run_ct_positioning(rec, cfg, pos_svs, eph, sbf,
+                                 init_pos_ecef,
+                                 pdi_ms_per_block=pdi_rows)
         if self.dir:
             self._save_records(self._path(stem_t), rec)
             with open(self._path(stem_n), "wb") as f:
@@ -296,22 +371,30 @@ class Receiver:
     def vt_position(self, n_ms: Optional[int] = None,
                     ct_n_ms: Optional[int] = None,
                     init_pos_ecef: Optional[np.ndarray] = None,
+                    multicorr: Optional[bool] = None,
                     chunk_ms: int = 1000):
-        """Stage 6 (SDR_main.m:99): vector tracking + EKF, warm-started
+        """Stage 6 (SDR_main.m:94-99): vector tracking + EKF, warm-started
         from the CT stage (trackingVT_POS_updated.m:66-70,109-132).
 
+        `multicorr` selects the 29-tap recording bank
+        (trackingVT_POS_updated_multicorrelator.m:26); default from
+        cmn.multicorr_vt (the reference's cmn.mltCorrON(2)).
         Returns (VTTrackRecords, VTSolutions).
         """
         from gps_sdr_tpu.geo.ephemeris import Ephemeris
         from gps_sdr_tpu.receiver.vt import (VTParams, init_vt_state,
                                              run_vector_tracking)
 
-        stem = f"navvt_{self.cfg.file.name}.pkl"
+        cfg = self.cfg
+        if multicorr is None:
+            multicorr = cfg.cmn.multicorr_vt
+        n_ms = n_ms or cfg.track.ms_vt
+        stem = (f"navvt_{'mc_' if multicorr else ''}{cfg.file.name}"
+                f"_{n_ms}_{ct_n_ms or 'def'}"
+                f"_{self._init_token(init_pos_ecef)}.pkl")
         if self._have(stem):
             with open(self._path(stem), "rb") as f:
                 return pickle.load(f)
-
-        cfg = self.cfg
         eph, sbf = self.decode()
         pos_svs = self.usable_svs()
         if init_pos_ecef is None:
@@ -341,17 +424,18 @@ class Receiver:
             tt0[ch] = (tow1[p] + (slot + 1 - first_sf_ms) / 1000.0
                        + ct_rec.rem_chip[slot, ch]
                        / cfg.signal.code_freq_basis)
-        params = VTParams(remove_dc=cfg.file.data_precision == 2,
-                          pll_bw_hz=cfg.track.pll_bw_hz,
-                          pll_damping=cfg.track.pll_damping,
-                          pll_gain=cfg.track.pll_gain)
+        vt_kw = dict(remove_dc=cfg.file.data_precision == 2,
+                     pll_bw_hz=cfg.track.pll_bw_hz,
+                     pll_damping=cfg.track.pll_damping,
+                     pll_gain=cfg.track.pll_gain)
+        params = (VTParams.multicorr(**vt_kw) if multicorr
+                  else VTParams(**vt_kw))
         state = init_vt_state(cfg, ct_rec, list(range(len(pos_svs))),
                               start_slot, tt0, est_pos, est_vel, clk_bias,
                               clk_drift, params)
         eph_struct = Ephemeris(**{
             k: np.asarray([eph[p].latest(0)[k] for p in pos_svs])
             for k in Ephemeris._fields})
-        n_ms = n_ms or cfg.track.ms_vt
         trk, sol, _ = run_vector_tracking(
             self.source, cfg, pos_svs, eph_struct, state, params, n_ms,
             init_pos_ecef, chunk_ms=chunk_ms)
@@ -359,6 +443,17 @@ class Receiver:
             with open(self._path(stem), "wb") as f:
                 pickle.dump((trk, sol), f)
         return trk, sol
+
+    def position(self, **kw):
+        """Mode dispatch (SDR_main.m:73-121 on solu.mode / cmn.vtEnable):
+        mode 0 → WLS (CT) solutions; mode 2 (with cmn.vt_enable) → VT/EKF
+        warm-started from CT.  Mode 1 ("conventional KF") behaves as WLS:
+        the reference initializes an 8-state KF in the CT-POS stage but
+        never updates it (trackingCT_POS_updated.m:52-84), so its mode-1
+        output is the WLS record."""
+        if self.cfg.solu.mode == 2 and self.cfg.cmn.vt_enable:
+            return self.vt_position(**kw)
+        return self.ct_position(**kw)
 
     def report(self, out_dir: str, vt: bool = True) -> None:
         """Stage 7: Task 1-5 result plots (Plot_task_1..5.m equivalents)."""

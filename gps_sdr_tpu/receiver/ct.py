@@ -80,14 +80,24 @@ def run_ct_positioning(records: TrackRecords, cfg: ReceiverConfig,
     `records` must come from a tracking run whose state was initialized
     with the same origin as the eph-decoding run (both start at
     skip·S + S − codedelay + 1).
+
+    `pdi_ms_per_block` is the coherent length of each record row: a
+    scalar, a (T,) vector, or a (T, N) matrix when channels switch pdi
+    at different rows (the reference's per-channel 1 ms → 10 ms switch
+    at msToProcessCT_1ms + countinx, trackingCT_POS_updated.m:183,294).
+    The transmit-time term uses each channel's own elapsed-ms cumsum
+    (…:458: (index − switch)·pdi + switch).
     """
     sig, cmn, solu = cfg.signal, cfg.cmn, cfg.solu
     fs = sig.fs
     n_ch = len(prns)
     T = records.absolute_sample.shape[0]
-    pdi = (np.full(T, pdi_ms_per_block)
-           if np.isscalar(pdi_ms_per_block) else np.asarray(pdi_ms_per_block))
-    ms_elapsed = np.cumsum(pdi)                      # ms at end of block i
+    pdi = (np.full((T, n_ch), pdi_ms_per_block)
+           if np.isscalar(pdi_ms_per_block)
+           else np.asarray(pdi_ms_per_block))
+    if pdi.ndim == 1:
+        pdi = np.broadcast_to(pdi[:, None], (T, n_ch))
+    ms_elapsed = np.cumsum(pdi, axis=0)              # (T, N): ms at block end
 
     eph_struct = Ephemeris.stack(
         [_eph_to_struct(eph[p]) for p in prns])
@@ -125,7 +135,8 @@ def run_ct_positioning(records: TrackRecords, cfg: ReceiverConfig,
         code_phase = (records.rem_chip[idx, np.arange(n_ch)]
                       + step_chips * (cur - abs_s[idx, np.arange(n_ch)]))
         transmit_time = (code_phase / sig.code_length / 1000.0
-                         + (ms_elapsed[idx] - (nav1 + sfb1 * 20)) / 1000.0
+                         + (ms_elapsed[idx, np.arange(n_ch)]
+                            - (nav1 + sfb1 * 20)) / 1000.0
                          + tow1)
 
         if np.isinf(local_time):

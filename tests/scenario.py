@@ -10,8 +10,8 @@ import os
 
 import numpy as np
 
-from gps_sdr_tpu.config import (FileConfig, ReceiverConfig, SignalConfig,
-                                SolutionConfig)
+from gps_sdr_tpu.config import (CommonConfig, FileConfig, ReceiverConfig,
+                                SignalConfig, SolutionConfig)
 from gps_sdr_tpu.geo.coords import llh2xyz
 from gps_sdr_tpu.geo.ephemeris import Ephemeris, sv_pos_vel_clock
 from gps_sdr_tpu.io.ifdata import IFSampleSource
@@ -33,6 +33,9 @@ CFG = ReceiverConfig(
     # fs/fchip (4.89 samples/chip): commensurate sampling locks every chip
     # to the same fractional alignment and biases the E-L discriminator
     solu=SolutionConfig(truth_llh=TRUTH_LLH),
+    # 3-tap E/P/L banks for the shared fast path; the multicorrelator
+    # configurations have their own dedicated tests
+    cmn=CommonConfig(multicorr_ct=False, multicorr_vt=False),
 )
 
 BASE_EPH = dict(

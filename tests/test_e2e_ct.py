@@ -87,3 +87,39 @@ def test_dop_reasonable(navsol):
 
 def test_elevations_above_mask(navsol):
     assert np.all(navsol.sat_el_deg[2:] > 10.0)
+
+
+def test_ct_pdi_switch_across_boundary(receiver, decoded):
+    """The reference's per-channel pdi 1 ms → 10 ms switch
+    (trackingCT_POS_updated.m:183,294): channels switch at
+    pdi_switch_ms + countinx with *different* countinx, and the WLS
+    epoch interpolation must stay consistent across the boundary."""
+    truth = np.asarray(llh2xyz(np.asarray(scenario.TRUTH_LLH)))
+    # detected bit-edge offsets differ per channel (travel-time
+    # geometry spreads the bit edges): [15 12 17 15 10] on this scenario
+    cnt = receiver.countinx()
+    assert len(np.unique(cnt)) >= 3, cnt
+    sw_ms = 2000   # epochs start ~1.1 s in → ~45 epochs in the pdi=1
+    # regime, the mixed-pdi boundary near epoch ~46, then ~200 more
+    rec, nav = receiver.ct_position(n_ms=2400, pdi_switch_ms=sw_ms)
+    S = scenario.CFG.signal.samples_per_ms
+    # record structure: block length ≈ S before each channel's switch
+    # row, ≈ 10·S after
+    for ch in range(5):
+        pre = rec.num_sample[:sw_ms + cnt[ch], ch]
+        post = rec.num_sample[sw_ms + cnt[ch]:, ch]
+        assert np.all(np.abs(pre - S) < 50)
+        assert np.all(np.abs(post - 10 * S) < 50)
+    # epochs span the boundary: the switch happens ≈ sw_ms of signal in;
+    # epochs continue well past it (10 ms rows consume signal 10× faster)
+    assert len(nav.local_time) > 100
+    # transmit-time continuity: consecutive epochs are exactly one
+    # nav_sol_period apart up to measurement noise (µs-level would mean
+    # a broken ms_elapsed/pdi bookkeeping; noise is ~1e-8 s)
+    dtt = np.diff(nav.transmit_time, axis=0)
+    assert np.max(np.abs(dtt - 0.02)) < 1e-6, np.max(np.abs(dtt - 0.02))
+    # position stays correct before and after every channel has switched
+    err = np.linalg.norm(nav.usr_pos - truth, axis=1)
+    assert np.median(err[5:40]) < 40.0         # pdi=1 regime
+    assert np.median(err[60:]) < 40.0          # pdi=10 regime
+    assert np.max(err[5:]) < 90.0
