@@ -86,6 +86,13 @@ class IFSampleSource:
         c = self.read_complex(start_sample, n_samples, remove_dc)
         return np.stack([c.real, c.imag], axis=-1).astype(np.float32)
 
+    def read_iq_planes(self, start_sample: int, n_samples: int,
+                       remove_dc: bool | None = None) -> np.ndarray:
+        """(2, n) float32 [I plane, Q plane] — the Pallas-correlator
+        staging layout (lane-contiguous per component)."""
+        c = self.read_complex(start_sample, n_samples, remove_dc)
+        return np.stack([c.real, c.imag], axis=0).astype(np.float32)
+
 
 def write_if_file(path: str, iq: np.ndarray, file_cfg: FileConfig) -> None:
     """Write complex samples as an interleaved capture file."""
