@@ -115,6 +115,15 @@ class SolutionConfig:
 
     nav_sol_period_ms: int = 20
     mode: int = 2                        # 0: WLS; 1: KF; 2: VT
+    # Measurement-validity gate: channels drop out of the WLS/EKF epochs
+    # when their post-correlation SNR — 10·log10(NA²/2σ²_IQ) from the
+    # moment-method window (trackingCT.m:120-134), i.e. C/N0 without the
+    # 1/T term — stays below this over the last 3 windows (min-of-3:
+    # one bad window invalidates, recovery needs 3 clean ones).  Pure
+    # noise measures ≤ ~6 dB at K=20; locked channels ≥ ~10 dB.
+    # 0 disables masking (the reference's behavior — it computes C/N0
+    # but never gates on it; SURVEY.md §5 failure-handling).
+    mask_snr_db: float = 6.0
     # Surveyed ground-truth antenna LLH (rad, rad, m) (initParameters.m:23)
     truth_llh: Tuple[float, float, float] = (
         22.328444770087565 / 180.0 * math.pi,

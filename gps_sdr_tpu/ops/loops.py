@@ -53,16 +53,22 @@ def pll_discriminator(p_i, p_q):
     return jnp.arctan(p_q / safe_i) / (2.0 * jnp.pi)
 
 
-def cn0_moment_estimator(zk, t_coh_s):
+def cn0_moment_estimator(zk, t_coh_s, signed: bool = False):
     """Moment-method C/N0 from a window of prompt powers Zk = P_i²+P_q².
 
     CN0 = |10·log10( (1/T)·NA²/(2·varIQ) )| with NA² = sqrt(E[Z]²−Var[Z]),
     varIQ = (E[Z]−NA²)/2, over a K=20 window (trackingCT.m:120-134).
     `zk` has window on the last axis.
+
+    `signed=True` skips the reference's abs() quirk: on pure noise the
+    ratio collapses toward 0, so |10·log10| would report a spuriously
+    HUGE C/N0 — the validity gates must see the (hugely negative)
+    signed value instead.
     """
     mean_zk = jnp.mean(zk, axis=-1)
     var_zk = jnp.var(zk, axis=-1, ddof=1)
     na2 = jnp.sqrt(jnp.maximum(mean_zk * mean_zk - var_zk, 1e-30))
     var_iq = 0.5 * (mean_zk - na2)
     ratio = na2 / jnp.maximum(2.0 * var_iq, 1e-30)
-    return jnp.abs(10.0 * jnp.log10(jnp.maximum(ratio / t_coh_s, 1e-30)))
+    cn0 = 10.0 * jnp.log10(jnp.maximum(ratio / t_coh_s, 1e-30))
+    return cn0 if signed else jnp.abs(cn0)

@@ -59,6 +59,53 @@ class NavSolutions:
     raw_pseudorange: np.ndarray
     code_phase_meas: np.ndarray
     local_time: np.ndarray     # (E,)
+    cn0_dbhz: np.ndarray = None       # (E,N) moment-method C/N0
+    valid: np.ndarray = None          # (E,N) channels in the solution
+
+
+def cn0_series(records: TrackRecords, pdi: np.ndarray, k: int = 20):
+    """Per-row (cn0_dbhz, gate_snr_db) from the prompt correlator powers.
+
+    Disjoint K=20-block Zk windows exactly as the reference computes
+    CN0_CT (trackingCT_POS_updated.m:237-250, trackingCT.m:120-134);
+    window w's estimate applies from window w+1's rows on (no lookahead
+    — the first window gates itself, a warmup concession).  `pdi`
+    (T, N) scales the coherent time per row of the C/N0.
+
+    The gate series is the post-correlation SNR 10·log10(NA²/2σ²_IQ)
+    (C/N0 without the 1/T term), MIN over the last 3 completed windows:
+    one noise window drops a channel immediately, recovery needs 3
+    clean windows, and noise flicker above threshold (p99 ≈ 6 dB at
+    K=20) is cubed away.
+    """
+    from gps_sdr_tpu.ops.loops import cn0_moment_estimator
+
+    pp = (records.p_i.astype(np.float64) ** 2
+          + records.p_q.astype(np.float64) ** 2)        # (T, N)
+    t_len, n_ch = pp.shape
+    n_win = t_len // k
+    cn0 = np.full((t_len, n_ch), np.inf)
+    gate = np.full((t_len, n_ch), np.inf)
+    if n_win == 0:
+        return cn0, gate
+    zk = pp[:n_win * k].reshape(n_win, k, n_ch)
+    t_coh = pdi[k - 1::k][:n_win] * 1e-3                # (n_win, N)
+    snr = np.asarray(cn0_moment_estimator(
+        np.moveaxis(zk, 1, 2), 1.0, signed=True))       # (n_win, N)
+    est = snr - 10.0 * np.log10(t_coh)                  # C/N0 [dB-Hz]
+    snr3 = np.minimum(snr, np.minimum(
+        np.roll(snr, 1, axis=0), np.roll(snr, 2, axis=0)))
+    snr3[0] = snr[0]
+    snr3[1] = np.minimum(snr[0], snr[1])
+    cn0[:k] = est[0]
+    gate[:k] = snr3[0]
+    for w in range(n_win):
+        lo, hi = (w + 1) * k, min((w + 2) * k, t_len)
+        if lo >= t_len:
+            break
+        cn0[lo:hi] = est[w]
+        gate[lo:hi] = snr3[w]
+    return cn0, gate
 
 
 def first_subframe_sample(records: TrackRecords, ch: int, nav1_ms: int,
@@ -115,7 +162,15 @@ def run_ct_positioning(records: TrackRecords, cfg: ReceiverConfig,
     abs_s = records.absolute_sample            # (T, N)
     out: Dict[str, List] = {k: [] for k in (
         "usr_pos", "usr_vel", "enu", "llh", "clk_bias", "vel_enu",
-        "clk_drift", "dop", "el", "az", "tt", "pr", "cpm", "lt")}
+        "clk_drift", "dop", "el", "az", "tt", "pr", "cpm", "lt",
+        "cn0", "valid")}
+
+    # measurement-validity gate: per-row post-correlation SNR against
+    # solu.mask_snr_db (SURVEY.md §5 — channels drop in/out of the WLS
+    # epochs; the reference computes CN0_CT but feeds every channel
+    # unconditionally)
+    cn0_rows, gate_rows = cn0_series(records, pdi)
+    mask_thresh = float(getattr(solu, "mask_snr_db", 0.0))
 
     est = np.concatenate([np.asarray(init_pos_ecef, np.float64), [0.0]])
     local_time = np.inf
@@ -163,7 +218,14 @@ def run_ct_positioning(records: TrackRecords, cfg: ReceiverConfig,
             cmn.day_of_year, np.rad2deg(llh[0]), llh[2], np.rad2deg(el))))
         prvec = prvec - iono - tropo
 
-        est, dop = iterated_ls_position(prvec, sv_pos_rot, est)
+        cn0_now = cn0_rows[idx, np.arange(n_ch)]
+        m = (gate_rows[idx, np.arange(n_ch)] >= mask_thresh
+             if mask_thresh > 0 else np.ones(n_ch, bool))
+        if m.sum() < 4:
+            # not enough healthy channels to gate — degrade gracefully
+            # to the ungated solution rather than losing the fix
+            m = np.ones(n_ch, bool)
+        est, dop = iterated_ls_position(prvec[m], sv_pos_rot[m], est)
         est = np.asarray(est)
         # Doppler observable (carrFreq − IF), as the reference passes it
         # (trackingCT_POS_updated.m:514).  NB the fitted clock drift then
@@ -171,7 +233,8 @@ def run_ct_positioning(records: TrackRecords, cfg: ReceiverConfig,
         # clock lowers every measured carrier frequency.
         doppler = records.carr_freq[idx, np.arange(n_ch)] - sig.f_if
         vel, clk_drift, _ = doppler_velocity_ls(
-            est[:3], sv_pos_rot, sv_vel, doppler, L1_WAVELENGTH, sv_clk_rate)
+            est[:3], sv_pos_rot[m], sv_vel[m], doppler[m], L1_WAVELENGTH,
+            sv_clk_rate[m])
         vel = np.asarray(vel)
 
         enu = np.asarray(xyz2enu(est[:3], init_pos_ecef))
@@ -193,6 +256,8 @@ def run_ct_positioning(records: TrackRecords, cfg: ReceiverConfig,
         out["tt"].append(transmit_time)
         out["pr"].append(pseudorange)
         out["cpm"].append(code_phase)
+        out["cn0"].append(cn0_now)
+        out["valid"].append(m)
         # local clock feedback (trackingCT_POS_updated.m:550-554)
         local_time = local_time - est[3] / C_LIGHT
         out["lt"].append(local_time)
@@ -209,7 +274,9 @@ def run_ct_positioning(records: TrackRecords, cfg: ReceiverConfig,
         transmit_time=np.asarray(out["tt"]),
         raw_pseudorange=np.asarray(out["pr"]),
         code_phase_meas=np.asarray(out["cpm"]),
-        local_time=np.asarray(out["lt"]))
+        local_time=np.asarray(out["lt"]),
+        cn0_dbhz=np.asarray(out["cn0"]),
+        valid=np.asarray(out["valid"]))
 
 
 def _eph_to_struct(rec: EphemerisRecord):

@@ -74,6 +74,14 @@ class VTState(NamedTuple):
     r_diag: jnp.ndarray            # (2N,) measurement noise diagonal
     innov_sq_sum: jnp.ndarray      # (2N,) running Z² for adaptive R
     step_count: jnp.ndarray        # int32 scalar
+    # measurement-validity gate (SURVEY.md §5): moment-method window over
+    # the prompt powers; channels whose post-correlation SNR stays below
+    # params.mask_snr_db (min over the last 3 windows) have their pr/prr
+    # rows deweighted out of the EKF update
+    zk: jnp.ndarray                # (N, K) prompt-power window
+    snr_hist: jnp.ndarray          # (N, 3) last window SNRs [dB]
+    cn0: jnp.ndarray               # (N,) latest C/N0 estimate [dB-Hz]
+    valid: jnp.ndarray             # (N,) bool gate
 
 
 @dataclasses.dataclass(frozen=True)
@@ -98,6 +106,10 @@ class VTParams:
     r_prr_max: float = 400.0
     r_min: float = 0.01
     remove_dc: bool = False
+    mask_snr_db: float = 6.0        # post-corr SNR gate (min of last 3
+                                    # windows); 0 disables
+    cn0_window: int = 20            # K of the Zk window (trackingCT.m:120)
+    r_masked: float = 1e12          # R inflation for gated-out channels
 
     @staticmethod
     def multicorr(**kw) -> "VTParams":
@@ -199,6 +211,33 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
             + carr_err * (dt / tau1)
         carr_freq = st.carr_freq_basis + pll
 
+        # --- measurement-validity gate: moment-method window over the
+        # prompt powers, refreshed every K blocks (estimator per
+        # trackingCT.m:120-134; the gating itself is this build's
+        # failure-handling layer, SURVEY.md §5 — the reference feeds all
+        # channels always).  Gate = post-correlation SNR (no 1/T term),
+        # min over the last 3 windows: drop fast, recover slowly, and
+        # noise flicker above threshold is cubed away.
+        from gps_sdr_tpu.ops.loops import cn0_moment_estimator
+        k_win = params.cn0_window
+        pp = (p_i.astype(jnp.float64) ** 2 + p_q.astype(jnp.float64) ** 2)
+        zk = jax.lax.dynamic_update_slice_in_dim(
+            st.zk, pp[:, None], st.step_count % k_win, axis=1)
+
+        def refresh_cn0(_):
+            snr = cn0_moment_estimator(zk, 1.0, signed=True)
+            cn0 = snr - 10.0 * jnp.log10(dt)
+            hist = jnp.concatenate([st.snr_hist[:, 1:], snr[:, None]],
+                                   axis=1)
+            gated = (jnp.min(hist, axis=1) >= params.mask_snr_db
+                     if params.mask_snr_db > 0
+                     else jnp.ones_like(st.valid))
+            return hist, cn0, gated
+
+        snr_hist, cn0, valid = jax.lax.cond(
+            (st.step_count + 1) % k_win == 0, refresh_cn0,
+            lambda _: (st.snr_hist, st.cn0, st.valid), operand=None)
+
         # --- DLL discriminator → pseudorange-error measurement (…:316-321)
         e = jnp.sqrt(e_i * e_i + e_q * e_q).astype(jnp.float64)
         l = jnp.sqrt(l_i * l_i + l_q * l_q).astype(jnp.float64)
@@ -230,9 +269,12 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
         z_prr = prr_pred - prr_meas - clk_drift + svp["clk_rate_ms"]
         z = jnp.concatenate([z_pr, z_prr])
 
-        # --- EKF predict + update (…:388-404) ---
+        # --- EKF predict + update (…:388-404); gated-out channels have
+        # both measurement rows deweighted by r_masked ---
+        valid2 = jnp.concatenate([valid, valid])
+        r_used = jnp.where(valid2, st.r_diag, params.r_masked)
         P = F @ st.state_cov @ F.T + Q
-        S = H @ P @ H.T + jnp.diag(st.r_diag)
+        S = H @ P @ H.T + jnp.diag(r_used)
         K = jax.scipy.linalg.solve(S.T, (P @ H.T).T, assume_a="pos").T
         err = K @ z
         P = (jnp.eye(8) - K @ H) @ P
@@ -240,8 +282,9 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
         # propagate to next epoch (…:440-442)
         total_next = F @ total
 
-        # --- adaptive R (…:445-467) ---
-        sq = st.innov_sq_sum + z * z
+        # --- adaptive R (…:445-467); gated-out innovations are excluded
+        # so a recovering channel re-enters with a sane R ---
+        sq = st.innov_sq_sum + jnp.where(valid2, z * z, 0.0)
         cnt = st.step_count + 1
 
         def update_r(_):
@@ -261,7 +304,8 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
             transmit_time=tt, predicted_pr_last=pred_pr,
             iono_m=iono, tropo_m=tropo, el_rad=el, az_rad=az,
             total_state=total_next, state_cov=P, r_diag=r_diag,
-            innov_sq_sum=sq, step_count=cnt)
+            innov_sq_sum=sq, step_count=cnt, zk=zk, snr_hist=snr_hist,
+            cn0=cn0, valid=valid)
 
         rec = dict(corr=corr, carr_err=carr_err, code_err=code_err,
                    code_freq=code_freq, carr_freq=carr_freq,
@@ -270,7 +314,8 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
                    total_state=total, state_cov_diag=jnp.diagonal(P),
                    kalman_gain=K, innovation=z, r_diag=r_diag,
                    el=el, az=az, sv_vel=svp["vel"],
-                   local_time=jnp.min(tt_pos), transmit_time=tt)
+                   local_time=jnp.min(tt_pos), transmit_time=tt,
+                   cn0=cn0, valid=valid)
         return new_state, rec
 
     return jax.lax.scan(step, state, None, length=n_steps)
@@ -293,6 +338,8 @@ class VTSolutions:
     r_diag: np.ndarray
     sat_el_deg: np.ndarray
     sat_az_deg: np.ndarray
+    cn0_dbhz: np.ndarray = None    # (T, N)
+    valid: np.ndarray = None       # (T, N) channels in the EKF update
 
 
 @dataclasses.dataclass
@@ -351,7 +398,11 @@ def init_vt_state(cfg: ReceiverConfig, ct_records: TrackRecords,
             1e5 * np.diag([0.1] * 6 + [1.0, 1.0]), jnp.float64),
         r_diag=jnp.asarray(np.concatenate([
             np.full(n, params.r_pr0), np.full(n, params.r_prr0)])),
-        innov_sq_sum=jnp.asarray(z2), step_count=jnp.asarray(0, jnp.int32))
+        innov_sq_sum=jnp.asarray(z2), step_count=jnp.asarray(0, jnp.int32),
+        zk=jnp.zeros((n, params.cn0_window), jnp.float64),
+        snr_hist=jnp.full((n, 3), 99.0, jnp.float64),
+        cn0=jnp.full(n, 99.0, jnp.float64),
+        valid=jnp.ones(n, bool))
 
 
 def run_vector_tracking(source: IFSampleSource, cfg: ReceiverConfig,
@@ -401,7 +452,8 @@ def run_vector_tracking(source: IFSampleSource, cfg: ReceiverConfig,
         state_cov_diag=cat["state_cov_diag"],
         kalman_gain=cat["kalman_gain"], innovation=cat["innovation"],
         r_diag=cat["r_diag"], sat_el_deg=np.rad2deg(cat["el"]),
-        sat_az_deg=np.rad2deg(cat["az"]))
+        sat_az_deg=np.rad2deg(cat["az"]),
+        cn0_dbhz=cat["cn0"], valid=cat["valid"])
     trk = VTTrackRecords(
         corr=cat["corr"], carr_err=cat["carr_err"], code_err=cat["code_err"],
         code_freq=cat["code_freq"], carr_freq=cat["carr_freq"],
