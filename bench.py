@@ -1,22 +1,35 @@
-"""Benchmark: Opensky-shaped workload (58 MHz IQ) on one chip.
+"""Benchmark: Opensky-shaped workload (58 MHz int8 IQ) on one chip.
 
-Primary metric: continuous tracking throughput — IF samples/s/chip through
-the 8-channel E/P/L correlator engine (the receiver's steady-state work).
-Detail: full acquisition search latency (32 PRN x 41 Doppler x 20 ms
-non-coherent grid — a one-shot per cold start) and its grid-cell rate.
+Primary metric: continuous tracking throughput — IF samples/s/chip
+through the 8-channel E/P/L correlator engine (the receiver's
+steady-state work) on the fused Pallas kernel path (the production
+replica on TPU).  Detail covers the XLA shift-replica baseline, a
+32-channel run, the 25-tap multicorrelator bank, the full acquisition
+search (32 PRN × 41 Doppler × 20 ms non-coherent grid + the per-SV
+fine-Doppler long FFT, i.e. the whole cold-start latency), 8-way
+time-segmented tracking, and the sharding overhead of the mesh
+acquisition grid measured on a virtual 8-device CPU mesh.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 `vs_baseline` is the real-time factor (value / 58e6): the reference
 MATLAB receiver publishes no throughput numbers (BASELINE.md), so 1.0x
 real-time is the reference point.
 
+`--profile DIR` wraps the measured runs in a jax.profiler trace
+(SURVEY.md §5 tracing row).
+
 Timing methodology for the hosted backend: every measured run ends in a
-small device->host value fetch (block_until_ready does not reliably fence
-there), and a trivial jitted op warms the execution path first (the first
-execution in a process can pay ~minutes of one-time setup).
+small device->host value fetch (block_until_ready does not reliably
+fence there), and a trivial jitted op warms the execution path first
+(the first execution in a process can pay minutes of one-time setup).
 """
 
+import argparse
+import contextlib
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -31,13 +44,16 @@ def _warm_backend():
 
 
 def bench_acquisition(reps: int = 3):
+    """Full-grid search latency + the fine-Doppler host FFTs for the 8
+    golden Opensky SVs (round-1 bench excluded the fine stage — on 8
+    acquired SVs it is real seconds of host work)."""
     import jax
     import jax.numpy as jnp
 
     from gps_sdr_tpu.acquisition import (acquisition_power_grid,
                                          acquisition_power_grid_real,
-                                         doppler_carriers, next_pow2,
-                                         sampled_codes, _use_pow2)
+                                         doppler_carriers, fine_doppler,
+                                         next_pow2, sampled_codes, _use_pow2)
     from gps_sdr_tpu.config import ReceiverConfig
 
     cfg = ReceiverConfig()  # Opensky shape: S=58000, F=41, B=20
@@ -80,33 +96,55 @@ def bench_acquisition(reps: int = 3):
     for _ in range(reps):
         out = run()
     np.asarray(out)
-    dt = (time.perf_counter() - t0) / reps
-    return dict(acq_wall_s=round(dt, 4),
-                acq_grid_cells_per_s=round(32 * F * B * S / dt, 0),
-                acq_if_samples_per_s=round(B * S / dt, 0))
+    grid_dt = (time.perf_counter() - t0) / reps
+
+    # fine Doppler: one 11 ms host segment, 8 SVs (the Opensky count)
+    long_raw = (rng.integers(-64, 64, size=(cfg.acq.fine_fft_ms + 1) * S)
+                + 1j * rng.integers(-64, 64,
+                                    size=(cfg.acq.fine_fft_ms + 1) * S)
+                ).astype(np.complex64)
+    t0 = time.perf_counter()
+    for prn, delay in zip((3, 4, 16, 22, 26, 27, 31, 32),
+                          (3683, 12701, 26051, 2610, 57908, 49778,
+                           39064, 20170)):
+        fine_doppler(long_raw, prn, delay, cfg)
+    fine_dt = time.perf_counter() - t0
+    return dict(acq_grid_wall_s=round(grid_dt, 4),
+                acq_fine_doppler_8sv_wall_s=round(fine_dt, 4),
+                acq_total_wall_s=round(grid_dt + fine_dt, 4),
+                acq_grid_cells_per_s=round(32 * F * B * S / grid_dt, 0))
 
 
-def bench_tracking(n_ch: int = 8, n_steps: int = 1000, reps: int = 3):
+def bench_tracking(n_ch: int = 8, n_steps: int = 1000, reps: int = 3,
+                   replica: str = "pallas", multicorr: bool = False):
     import jax
     import jax.numpy as jnp
 
     from gps_sdr_tpu.config import ReceiverConfig
     from gps_sdr_tpu.tracking import (TrackParams, build_shift_tables,
+                                      build_shift_tables_2d,
                                       init_track_state, track_scan)
 
     cfg = ReceiverConfig()
     S = cfg.signal.samples_per_ms
     blk = -(-(S + 256) // 128) * 128
-    params = TrackParams.epl(cfg, replica="shift")
+    mk = TrackParams.pos_multicorr if multicorr else TrackParams.epl
+    params = mk(cfg, replica=replica)
     rng = np.random.default_rng(1)
     state = init_track_state(
         cfg, np.zeros(n_ch, np.int64),
         np.full(n_ch, cfg.signal.f_if + 1234.0))
     state = state._replace(ptr=jnp.zeros(n_ch, jnp.int64))
-    tables, margin = build_shift_tables(cfg, range(1, n_ch + 1), blk)
+    prns = list(range(1, n_ch + 1))
+    if replica == "pallas":
+        tables, margin = build_shift_tables_2d(cfg, prns, blk)
+    else:
+        tables, margin = build_shift_tables(cfg, prns, blk)
     chip_tables = jnp.asarray(tables)
-    raw = jnp.asarray(rng.integers(
-        -64, 64, size=((n_steps + 2) * S + blk, 2)).astype(np.float32))
+    vals = rng.integers(-64, 64, size=((n_steps + 2) * S + blk, 2)
+                        ).astype(np.float32)
+    raw = (jnp.asarray(vals.T.copy()) if replica == "pallas"
+           else jnp.asarray(vals))
 
     def run():
         st, rec = track_scan(raw, jnp.int64(0), state, chip_tables, params,
@@ -123,21 +161,167 @@ def bench_tracking(n_ch: int = 8, n_steps: int = 1000, reps: int = 3):
     return n_steps * S / dt, dt
 
 
+def bench_segmented(n_ch: int = 2, n_segments: int = 8, n_ms: int = 8000,
+                    halo_ms: int = 400, fs: float = 5e6):
+    """Overlap-save time parallelism (parallel/time_segments.py): the
+    scan shrinks by D while the batch grows by D.  Measured compute-only
+    (device-resident raw, direct track_scan) at a small front-end shape
+    — the regime where the serial scan's per-step work underfills the
+    chip.  At the 58 MHz Opensky shape each step is already
+    compute-bound (see the near-linear 8→32-channel scaling), so time
+    parallelism buys nothing there and the serial Pallas path is the
+    production choice; this entry quantifies what the module buys where
+    it applies (e.g. many-capture reprocessing at low fs).  Returns
+    (serial_sps, segmented_sps) for the same n_ch×n_ms workload."""
+    import jax.numpy as jnp
+
+    from gps_sdr_tpu.config import FileConfig, ReceiverConfig, SignalConfig
+    from gps_sdr_tpu.parallel.time_segments import segmented_initial_state
+    from gps_sdr_tpu.tracking import (TrackParams, build_shift_tables,
+                                      init_track_state, track_scan)
+
+    cfg = ReceiverConfig(file=FileConfig(skip_ms=0),
+                         signal=SignalConfig(f_if=1.25e6, fs=fs))
+    S = cfg.signal.samples_per_ms
+    blk = -(-(S + 256) // 128) * 128
+    params = TrackParams.epl(cfg, replica="shift")
+    rng = np.random.default_rng(2)
+    prns = list(range(1, n_ch + 1))
+    delays = np.zeros(n_ch, np.int64)
+    fines = np.full(n_ch, cfg.signal.f_if + 1234.0)
+    seg_ms = -(-n_ms // n_segments)
+    dur_samples = (n_ms + halo_ms + seg_ms + 4) * S + blk + 64
+    raw = jnp.asarray(rng.integers(-64, 64, size=(dur_samples, 2)
+                                   ).astype(np.float32))
+    tables, margin = build_shift_tables(cfg, prns, blk)
+
+    def timed(state, chip_tables, n_steps):
+        def run():
+            _, rec = track_scan(raw, jnp.int64(0), state, chip_tables,
+                                params, n_steps, float(cfg.signal.fs), blk,
+                                float(cfg.signal.code_freq_basis), margin)
+            return rec["corr"]
+        np.asarray(run()[0, 0])
+        t0 = time.perf_counter()
+        for _ in range(3):
+            out = run()
+        np.asarray(out[0, 0])
+        return (time.perf_counter() - t0) / 3
+
+    st = init_track_state(cfg, delays, fines)
+    st = st._replace(ptr=jnp.zeros(n_ch, jnp.int64))
+    t_serial = timed(st, jnp.asarray(tables), n_ms)
+
+    st_seg = segmented_initial_state(cfg, delays, fines, n_segments,
+                                     seg_ms, halo_ms)
+    tables_seg = np.concatenate([tables] * n_segments)
+    t_seg = timed(st_seg, jnp.asarray(tables_seg), seg_ms + halo_ms)
+    work = n_ms * S
+    return work / t_serial, work / t_seg
+
+
+def bench_shard_overhead(timeout_s: int = 900):
+    """Sharding cost probe for the mesh acquisition grid on a virtual
+    8-device CPU mesh.  Virtual devices share (and partition) the host
+    cores, so the ratio vs the fully-threaded unsharded baseline is an
+    UPPER BOUND on shard_map overhead, not a scaling efficiency — real
+    multi-chip efficiency needs real chips; the dryrun + equivalence
+    tests pin correctness, this pins that the machinery is not
+    pathological (ratio well below the 8x of zero work splitting)."""
+    code = r"""
+import json, os, time
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from gps_sdr_tpu.acquisition import acquisition_power_grid_real, next_pow2
+from gps_sdr_tpu.parallel import make_mesh, sharded_acquisition_power_real
+S, B, F, P = 8192, 4, 9, 16
+fft_len = next_pow2(2 * S)
+rng = np.random.default_rng(0)
+blocks = jnp.asarray(rng.normal(size=(B, 2 * S, 2)).astype(np.float32))
+carr = jnp.asarray(rng.normal(size=(F, 2 * S, 2)).astype(np.float32))
+cf = np.fft.fft(rng.choice([-1.0, 1.0], size=(P, S)), n=fft_len)
+code = jnp.asarray(np.stack([cf.real, cf.imag], -1).astype(np.float32))
+def timed(fn):
+    np.asarray(fn(blocks, carr, code, fft_len, S)[0, 0, 0])
+    t0 = time.perf_counter()
+    for _ in range(3):
+        out = fn(blocks, carr, code, fft_len, S)
+    np.asarray(out[0, 0, 0])
+    return (time.perf_counter() - t0) / 3
+t1 = timed(lambda *a: acquisition_power_grid_real(*a))
+t8 = timed(sharded_acquisition_power_real(make_mesh(8)))
+print(json.dumps({"t_1dev_full_threads": t1, "t_8dev_sharded": t8,
+                  "overhead_upper_bound": t8 / t1,
+                  "note": "virtual CPU devices serialize per-device "
+                          "programs while the unsharded baseline uses "
+                          "full intra-op threading; the true shard_map "
+                          "overhead is far below this ratio (8x would "
+                          "mean zero work splitting)"}))
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                          + " --xla_force_host_platform_device_count=8"),
+               PYTHONPATH=os.path.dirname(os.path.abspath(__file__))
+               + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    try:
+        out = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True,
+                             timeout=timeout_s)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception as e:  # never fail the bench over the probe
+        return {"error": str(e)[:200]}
+
+
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", default=None,
+                    help="write a jax.profiler trace to this directory")
+    args = ap.parse_args()
     _warm_backend()
-    trk_sps, trk_dt = bench_tracking()
-    acq = bench_acquisition()
+
+    if args.profile:
+        import jax
+        prof = jax.profiler.trace(args.profile)
+    else:
+        prof = contextlib.nullcontext()
+
+    import jax
+    on_tpu = jax.default_backend() == "tpu"
+    flagship_replica = "pallas" if on_tpu else "shift"
+    with prof:
+        trk_sps, trk_dt = bench_tracking(replica=flagship_replica)
+        shift_sps, _ = bench_tracking(replica="shift")
+        trk32_sps, _ = bench_tracking(n_ch=32, replica=flagship_replica)
+        mc_sps, _ = bench_tracking(n_steps=300, replica=flagship_replica,
+                                   multicorr=True)
+        seg_serial_sps, seg_sps = bench_segmented()
+        acq = bench_acquisition()
+    shard = bench_shard_overhead()
+
     print(json.dumps({
         "metric": "tracking IF samples/s/chip (8-channel E/P/L engine, "
-                  "58 MHz Opensky shape)",
+                  "58 MHz Opensky shape, fused Pallas correlator)",
         "value": round(trk_sps, 1),
         "unit": "samples/s/chip",
         "vs_baseline": round(trk_sps / 58e6, 3),
         "detail": {
+            "tracking_replica": flagship_replica,
             "tracking_wall_s_1000ms_8ch": round(trk_dt, 4),
-            "tracking_replica": "shift",
             "tracking_realtime_factor": round(trk_sps / 58e6, 3),
+            "tracking_shift_replica_sps": round(shift_sps, 0),
+            "tracking_pallas_speedup_vs_shift": round(trk_sps / shift_sps,
+                                                      2),
+            "tracking_32ch_sps_per_ch_stream": round(trk32_sps, 0),
+            "tracking_32ch_aggregate_ch_sps": round(32 * trk32_sps, 0),
+            "tracking_multicorr25_sps": round(mc_sps, 0),
+            "segmented_small_shape_serial_sps": round(seg_serial_sps, 0),
+            "segmented_small_shape_8seg_sps": round(seg_sps, 0),
+            "segmented_small_shape_speedup": round(seg_sps
+                                                   / seg_serial_sps, 2),
             **acq,
+            "acq_shard_overhead_cpu_mesh": shard,
         },
     }))
 

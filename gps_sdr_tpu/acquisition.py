@@ -241,12 +241,27 @@ def peak_statistics(power_pf_s, cfg: ReceiverConfig):
     return np.asarray(snr), np.asarray(fbin), np.asarray(delay)
 
 
+@functools.partial(jax.jit, static_argnames=("fft_len",))
+def _fine_peak_device(seg_pairs: jnp.ndarray, fft_len: int) -> jnp.ndarray:
+    """argmax of the zero-padded power spectrum, computed on device with
+    the four-step matmul DFT (ops/realfft.py) — the 2²⁴-point host FFT
+    was ~1.7 s per SV; on the MXU it is milliseconds."""
+    from gps_sdr_tpu.ops.realfft import fft_real_graphplan
+
+    n = seg_pairs.shape[0]
+    xr = jnp.pad(seg_pairs[:, 0], (0, fft_len - n))[None, :]
+    xi = jnp.pad(seg_pairs[:, 1], (0, fft_len - n))[None, :]
+    yr, yi = fft_real_graphplan(xr, xi)
+    return jnp.argmax(yr[0] * yr[0] + yi[0] * yi[0])
+
+
 def fine_doppler(long_signal: np.ndarray, prn: int, code_delay: int,
                  cfg: ReceiverConfig, fft_mode: str = "auto") -> float:
     """Fine carrier frequency via the ×20 zero-padded long FFT
     (acquisition.m:102-121).  Resolution fs/(L·S·20) ≈ 5 Hz at 58 MHz.
     On TPU the FFT length rounds up to a power of two (spectrum zero
-    padding — unlike the search grid, this is exact)."""
+    padding — unlike the search grid, this is exact) and the spectrum
+    peak is found on device via the matmul DFT."""
     sig, acq = cfg.signal, cfg.acq
     S = sig.samples_per_ms
     L = acq.fine_fft_ms
@@ -267,6 +282,14 @@ def fine_doppler(long_signal: np.ndarray, prn: int, code_delay: int,
     fftlen = n * acq.n_noncoherent_ms
     if _use_pow2(fft_mode):
         fftlen = next_pow2(fftlen)
+        if jax.default_backend() == "tpu":
+            pairs = jnp.asarray(np.stack([seg.real, seg.imag], -1
+                                         ).astype(np.float32))
+            raw_idx = int(_fine_peak_device(pairs, fftlen))
+            if cfg.file.data_type == 2:
+                idx = (raw_idx + fftlen // 2) % fftlen + 1  # fftshift map
+                return float(-idx * (sig.fs / fftlen) + sig.fs / 2.0)
+            return float((raw_idx + 1) * (sig.fs / fftlen))
     # host FFT: a once-per-SV spectrum; keeps complex math off the device
     spec = np.abs(np.fft.fft(seg, fftlen))
     if cfg.file.data_type == 2:

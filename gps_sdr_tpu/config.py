@@ -101,6 +101,10 @@ class TrackConfig:
     ms_ct_pos: int = 3000         # track.ctPOS
     ms_vt: int = 5000             # track.msToProcessVT
     pdi_ms: int = 1               # coherent integration per loop update
+    # Correlator replica engine: "auto" resolves to the fused Pallas
+    # kernel on TPU (ops/pallas_correlator.py) and the exact Q32 NCO
+    # replica elsewhere; "nco"/"shift"/"pallas" force a path.
+    replica: str = "auto"
 
     # Multi-correlator tap grid: the CT-POS stages evaluate a 25-tap grid
     # 0.6:-0.05:-0.6 (trackingCT_POS_updated.m:42); VT uses 29 taps over

@@ -65,6 +65,45 @@ def _cmatmul_right(ar, ai, mc, ms):
     return f(ar, mc) - f(ai, ms), f(ar, ms) + f(ai, mc)
 
 
+def _plan_graph(n: int):
+    """The _plan matrices built IN-GRAPH from iota (for large n the
+    host-precomputed constants would be baked into the HLO — a 2²⁴
+    plan is ~400 MB of payload; on-device they cost a few ms of VPU
+    transcendentals).  Angles are int32 mod-reduced before the float
+    cast, so they are as exact as the host path."""
+    import jax
+
+    n1, n2 = _split_factor(n)
+
+    def mats(rows, cols, mod, denom):
+        i = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+        ang = ((i * j) % jnp.int32(mod)).astype(jnp.float32) \
+            * np.float32(-2.0 * np.pi / denom)
+        return jnp.cos(ang), jnp.sin(ang)
+
+    c1, s1 = mats(n1, n1, n1, n1)
+    c2, s2 = mats(n2, n2, n2, n2)
+    ct, st = mats(n1, n2, n, n)
+    return n1, n2, c1, s1, c2, s2, ct, st
+
+
+def fft_real_graphplan(xr: jnp.ndarray, xi: jnp.ndarray):
+    """fft_real with the DFT/twiddle matrices generated in-graph —
+    use for large transforms (the fine-Doppler 2²⁴-point spectrum)."""
+    n = xr.shape[-1]
+    n1, n2, c1, s1, c2, s2, ct, st = _plan_graph(n)
+    batch = xr.shape[:-1]
+    ar = xr.reshape((-1, n1, n2))
+    ai = xi.reshape((-1, n1, n2))
+    br, bi = _cmatmul_left(c1, s1, ar, ai)
+    cr = br * ct - bi * st
+    ci = br * st + bi * ct
+    dr, di = _cmatmul_right(cr, ci, c2, s2)
+    return (jnp.swapaxes(dr, -1, -2).reshape(batch + (n,)),
+            jnp.swapaxes(di, -1, -2).reshape(batch + (n,)))
+
+
 def fft_real(xr: jnp.ndarray, xi: jnp.ndarray):
     """Forward DFT of (batch, N) float32 pairs → (Xr, Xi), numpy fft
     convention."""

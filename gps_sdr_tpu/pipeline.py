@@ -261,9 +261,21 @@ class Receiver:
         return self._eph, self._sbf
 
     def usable_svs(self):
-        """Stage 4 (SDR_main.m:65, findPosSV.m)."""
+        """Stage 4 (SDR_main.m:65, findPosSV.m): PRNs with complete
+        healthy ephemerides; the acquisition fields filtered to that set
+        are persisted as the nAcquired-style artifact (findPosSV.m:42)."""
         eph, _ = self.decode()
-        return navdecode.usable_svs(eph)
+        svs = navdecode.usable_svs(eph)
+        stem = (f"nacquired_{self.cfg.file.name}"
+                f"_{self.cfg.file.skip_ms}.npz")
+        if self.dir and not self._have(stem):
+            acq = self.acquisition()
+            ch = [acq.channel_index(p) for p in svs]
+            np.savez(self._path(stem), sv=np.asarray(svs),
+                     snr_db=acq.snr_db[ch], doppler_hz=acq.doppler_hz[ch],
+                     code_delay=acq.code_delay[ch],
+                     fine_freq_hz=acq.fine_freq_hz[ch])
+        return svs
 
     @staticmethod
     def _init_token(init_pos_ecef) -> str:
@@ -455,18 +467,24 @@ class Receiver:
             return self.vt_position(**kw)
         return self.ct_position(**kw)
 
-    def report(self, out_dir: str, vt: bool = True) -> None:
-        """Stage 7: Task 1-5 result plots (Plot_task_1..5.m equivalents)."""
+    def report(self, out_dir: str, vt: bool = True,
+               ct_kw: Optional[Dict] = None,
+               vt_kw: Optional[Dict] = None) -> None:
+        """Stage 7: Task 1-5 result plots (Plot_task_1..5.m equivalents)
+        plus the decoded-ephemeris CSV (Task_3_table.m)."""
         from gps_sdr_tpu.analysis import plots
+        from gps_sdr_tpu.utils.metrics import export_ephemeris_table
 
         acq = self.acquisition()
         eph, _ = self.decode()
         pos_svs = self.usable_svs()
         truth = np.asarray(llh2xyz(np.asarray(self.cfg.solu.truth_llh)))
-        rec, nav = self.ct_position()
+        rec, nav = self.ct_position(**(ct_kw or {}))
         vt_sol = None
         if vt:
-            _, vt_sol = self.vt_position()
+            _, vt_sol = self.vt_position(**(vt_kw or {}))
         plots.save_all(acq=acq, records=rec, prns=pos_svs, eph=eph,
                        nav=nav, vt_sol=vt_sol, truth_ecef=truth,
                        out_dir=out_dir)
+        export_ephemeris_table(
+            eph, os.path.join(out_dir, "task3_ephemeris.csv"), pos_svs)

@@ -104,6 +104,7 @@ class TrackParams:
         defaults = dict(
             pdi_ms=pdi_ms, taps=(-d, 0.0, d), i_early=0, i_prompt=1,
             i_late=2, dll_freq_sign=-1.0,
+            replica=resolve_replica(cfg.track.replica),
             dll_bw_hz=cfg.track.dll_bw_hz, dll_damping=cfg.track.dll_damping,
             dll_gain=cfg.track.dll_gain, pll_bw_hz=cfg.track.pll_bw_hz,
             pll_damping=cfg.track.pll_damping, pll_gain=cfg.track.pll_gain,
@@ -120,6 +121,7 @@ class TrackParams:
         defaults = dict(
             pdi_ms=pdi_ms, taps=(d, 0.05, -d), i_early=0, i_prompt=1,
             i_late=2, dll_freq_sign=+1.0, rounding="ceil",
+            replica=resolve_replica(cfg.track.replica),
             dll_bw_hz=cfg.track.dll_bw_hz, dll_damping=cfg.track.dll_damping,
             dll_gain=cfg.track.dll_gain, pll_bw_hz=cfg.track.pll_bw_hz,
             pll_damping=cfg.track.pll_damping, pll_gain=cfg.track.pll_gain,
@@ -138,12 +140,22 @@ class TrackParams:
         defaults = dict(
             pdi_ms=pdi_ms, taps=tuple(grid), i_early=2, i_prompt=12,
             i_late=22, dll_freq_sign=+1.0, rounding="ceil",
+            replica=resolve_replica(cfg.track.replica),
             dll_bw_hz=cfg.track.dll_bw_hz, dll_damping=cfg.track.dll_damping,
             dll_gain=cfg.track.dll_gain, pll_bw_hz=cfg.track.pll_bw_hz,
             pll_damping=cfg.track.pll_damping, pll_gain=cfg.track.pll_gain,
             remove_dc=cfg.file.data_precision == 2)
         defaults.update(kw)
         return TrackParams(**defaults)
+
+
+def resolve_replica(mode: str) -> str:
+    """"auto" → the fused Pallas kernel on TPU, the exact Q32 NCO
+    replica elsewhere (CPU tests run Pallas in interpret mode only where
+    a test asks for it)."""
+    if mode != "auto":
+        return mode
+    return "pallas" if jax.default_backend() == "tpu" else "nco"
 
 
 def init_track_state(cfg: ReceiverConfig, code_delays: np.ndarray,

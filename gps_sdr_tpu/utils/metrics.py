@@ -24,6 +24,32 @@ def cn0_series(p_i: np.ndarray, p_q: np.ndarray, t_coh_s: float,
     return np.asarray(cn0_moment_estimator(zk, t_coh_s))
 
 
+def export_ephemeris_table(eph: dict, path: str, prns=None) -> str:
+    """CSV export of decoded ephemerides — one column per PRN, one row
+    per parameter (the reference's Task_3_table.m, whose own export is
+    partially broken; this is the working equivalent).  Returns the CSV
+    text; writes it to `path` when given."""
+    prns = list(prns) if prns is not None else sorted(
+        p for p, r in eph.items() if getattr(r, "updateflag", 0) == 1)
+    scalar_rows = ["weeknum", "iodc", "iode2", "iode3", "health",
+                   "ura"]
+    param_rows = ["toe", "toc", "sqrta", "ecc", "m0", "omega0", "i0", "w",
+                  "deltan", "omegadot", "idot", "cuc", "cus", "crc", "crs",
+                  "cic", "cis", "af0", "af1", "af2", "tgd"]
+    lines = ["parameter," + ",".join(f"PRN{p}" for p in prns)]
+    for name in scalar_rows + param_rows:
+        vals = []
+        for p in prns:
+            seq = getattr(eph[p], name, [])
+            vals.append(repr(seq[0]) if len(seq) else "")
+        lines.append(f"{name}," + ",".join(vals))
+    text = "\n".join(lines) + "\n"
+    if path:
+        with open(path, "w") as f:
+            f.write(text)
+    return text
+
+
 def format_acquisition_table(acq, f_if: float) -> str:
     """Console table of acquisition results (showAcqResult.m:14-20)."""
     lines = ["PRN   SNR[dB]  Doppler[Hz]  FineDoppler[Hz]  CodeDelay[smp]"]

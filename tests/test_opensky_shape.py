@@ -1,0 +1,128 @@
+"""Opensky-front-end-shaped validation (round-1 VERDICT missing #6).
+
+Round 1's tests all ran at 4–5 MHz; nothing exercised the actual
+production workload shape — 58 MHz sampling, IF 4.58 MHz, int8
+interleaved IQ, a non-zero skip — end to end on the TPU-eligible code
+paths.  These tests do, on a short synthetic capture (7 MB) with the
+golden Opensky PRN set.
+
+The second half is the golden-artifact harness: when the real
+`Opensky.bin` capture is present (env GPS_SDR_OPENSKY_BIN or
+data/Opensky.bin), acquisition is checked against the decoded values of
+the reference's shipped `Acquired_Opensky_5000.mat` (BASELINE.md).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from gps_sdr_tpu.acquisition import run_acquisition
+from gps_sdr_tpu.config import ReceiverConfig, FileConfig, opensky_config
+from gps_sdr_tpu.io.ifdata import IFSampleSource, write_if_file
+from gps_sdr_tpu.io.synthetic import SyntheticSV, generate_if_samples
+from gps_sdr_tpu.tracking import TrackParams, init_track_state, run_tracking
+
+# the golden Opensky acquisition values (Acquired_Opensky_5000.mat,
+# decoded in BASELINE.md)
+GOLDEN_PRNS = (3, 4, 16, 22, 26, 27, 31, 32)
+GOLDEN_SNR_DB = (18.10, 17.29, 26.43, 19.83, 27.21, 22.72, 24.40, 22.20)
+GOLDEN_DOPPLER = (1000, -3000, 0, 1500, 2000, -3000, 1000, 3500)
+GOLDEN_DELAY = (3683, 12701, 26051, 2610, 57908, 49778, 39064, 20170)
+GOLDEN_FINE = (4580990, 4576905, 4579695, 4581565, 4581835, 4576775,
+               4581045, 4583345)
+
+
+@pytest.fixture(scope="module")
+def opensky_shaped(tmp_path_factory):
+    """58 MHz / IF 4.58 MHz / int8 IQ / skip=20 ms capture carrying the
+    golden PRN set at its golden Dopplers and (scaled) code delays."""
+    cfg = ReceiverConfig(file=FileConfig(name="oss", skip_ms=20))
+    assert cfg.signal.fs == 58e6 and cfg.signal.f_if == 4.58e6
+    assert cfg.file.data_precision == 1 and cfg.file.data_type == 2
+    rng = np.random.default_rng(4)
+    svs = [SyntheticSV(prn=p, amplitude=2.0 + 0.1 * i, doppler_hz=float(d),
+                       code_delay_samples=float(cd),
+                       phase0_rad=float(rng.uniform(0, 2 * np.pi)))
+           for i, (p, d, cd) in enumerate(zip(GOLDEN_PRNS, GOLDEN_DOPPLER,
+                                              GOLDEN_DELAY))]
+    dur = cfg.file.skip_ms + 40  # acq 20 + fine 11 + headroom
+    iq = generate_if_samples(cfg, svs, duration_ms=dur, noise_std=6.0,
+                             seed=4)
+    path = str(tmp_path_factory.mktemp("oss") / "oss.bin")
+    write_if_file(path, iq, cfg.file)
+    return cfg, IFSampleSource(path, cfg.file), svs
+
+
+def test_acquisition_at_full_rate(opensky_shaped):
+    """The pow2 real-pair grid (the TPU path) on the true 58 MHz shape:
+    all 8 golden PRNs at their delays/Dopplers/fine frequencies."""
+    cfg, src, svs = opensky_shaped
+    acq = run_acquisition(src, cfg, prns=GOLDEN_PRNS, fft_mode="pow2")
+    assert set(int(s) for s in acq.sv) == set(GOLDEN_PRNS)
+    S = cfg.signal.samples_per_ms
+    for sv in svs:
+        i = acq.channel_index(sv.prn)
+        assert acq.doppler_hz[i] == sv.doppler_hz  # 500 Hz grid, exact
+        # delay convention: epoch at sample S − codedelay after the skip
+        # (trackingCT.m:63); account for code Doppler over the skip
+        f_code = cfg.signal.code_freq_basis * (1 + sv.doppler_hz
+                                               / cfg.signal.fc)
+        chip0 = ((cfg.file.skip_ms * S - sv.code_delay_samples)
+                 / cfg.signal.fs * f_code)
+        next_epoch = ((np.ceil(chip0 / 1023) * 1023 - chip0)
+                      / f_code * cfg.signal.fs)
+        expect = (S - next_epoch) % S
+        err = (int(acq.code_delay[i]) - expect + S / 2) % S - S / 2
+        assert abs(err) <= 2.5, (sv.prn, acq.code_delay[i], expect)
+        fine_err = abs(acq.fine_freq_hz[i]
+                       - (cfg.signal.f_if + sv.doppler_hz))
+        assert fine_err < 25.0, (sv.prn, fine_err)  # ~5 Hz resolution
+
+
+def test_tracking_at_full_rate(opensky_shaped):
+    """20 ms of 3-tap tracking at 58 MHz: prompt dominates E/L and the
+    block lengths stay at 58000±jitter."""
+    cfg, src, svs = opensky_shaped
+    acq = run_acquisition(src, cfg, prns=GOLDEN_PRNS, fft_mode="pow2")
+    st = init_track_state(cfg, acq.code_delay, acq.fine_freq_hz)
+    rec, _ = run_tracking(src, cfg, [int(p) for p in acq.sv], st,
+                          TrackParams.epl(cfg), 18)
+    S = cfg.signal.samples_per_ms
+    assert np.all(np.abs(rec.num_sample - S) < 60)
+    p = np.abs(rec.p_i[5:]).mean(axis=0)
+    e = np.abs(rec.e_i[5:]).mean(axis=0)
+    l = np.abs(rec.l_i[5:]).mean(axis=0)
+    assert np.all(p > 1.3 * e) and np.all(p > 1.3 * l)
+
+
+def _opensky_bin():
+    cand = os.environ.get("GPS_SDR_OPENSKY_BIN", "")
+    if cand and os.path.exists(cand):
+        return cand
+    default = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data", "Opensky.bin")
+    return default if os.path.exists(default) else None
+
+
+@pytest.mark.skipif(_opensky_bin() is None,
+                    reason="real Opensky.bin capture not present "
+                           "(set GPS_SDR_OPENSKY_BIN)")
+def test_golden_opensky_acquisition():
+    """Parity against the reference's shipped Acquired_Opensky_5000.mat
+    on the real capture (BASELINE.md golden values)."""
+    cfg = opensky_config(_opensky_bin())
+    src = IFSampleSource(cfg.file.path, cfg.file)
+    acq = run_acquisition(src, cfg)
+    got = {int(s) for s in acq.sv}
+    assert set(GOLDEN_PRNS) <= got, got
+    for p, snr, dop, delay, fine in zip(GOLDEN_PRNS, GOLDEN_SNR_DB,
+                                        GOLDEN_DOPPLER, GOLDEN_DELAY,
+                                        GOLDEN_FINE):
+        i = acq.channel_index(p)
+        assert abs(acq.snr_db[i] - snr) < 3.0, (p, acq.snr_db[i])
+        assert acq.doppler_hz[i] == dop, (p, acq.doppler_hz[i])
+        assert abs(int(acq.code_delay[i]) - delay) <= 2, (p,
+                                                          acq.code_delay[i])
+        assert abs(acq.fine_freq_hz[i] - fine) < 25.0, (p,
+                                                        acq.fine_freq_hz[i])

@@ -1,5 +1,6 @@
 """Four-step matmul DFT vs numpy reference."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -28,3 +29,17 @@ def test_ifft_roundtrip():
 def test_non_pow2_rejected():
     with pytest.raises(ValueError):
         fft_real(np.zeros((1, 100), np.float32), np.zeros((1, 100), np.float32))
+
+
+def test_graphplan_matches_numpy():
+    from gps_sdr_tpu.ops.realfft import fft_real_graphplan
+    rng = np.random.default_rng(5)
+    for n in (1024, 16384):
+        x = (rng.normal(size=(2, n)) + 1j * rng.normal(size=(2, n))
+             ).astype(np.complex64)
+        yr, yi = fft_real_graphplan(jnp.asarray(x.real.astype(np.float32)),
+                                    jnp.asarray(x.imag.astype(np.float32)))
+        ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(np.asarray(yr), ref.real, atol=2e-4 * scale)
+        np.testing.assert_allclose(np.asarray(yi), ref.imag, atol=2e-4 * scale)

@@ -1,25 +1,49 @@
-"""Report generation (Task 1-5 plot equivalents) from cached artifacts."""
+"""Report generation (Task 1-5 plot equivalents + ephemeris CSV).
+
+Self-contained: builds (or reuses cached) scenario artifacts itself
+instead of skipping when another test module hasn't run first.
+"""
 
 import os
 
-import pytest
+import numpy as np
 
+from gps_sdr_tpu.geo.coords import llh2xyz
 from gps_sdr_tpu.pipeline import Receiver
 
 from tests import scenario
 
+INIT = (np.asarray(llh2xyz(np.asarray(scenario.TRUTH_LLH)))
+        + np.array([3000.0, -2000.0, 1500.0]))
 
-def test_report_writes_all_pngs(tmp_path):
-    if not os.path.exists(os.path.join(scenario.CACHE_DIR,
-                                       "navct_epl_geo_scn.pkl")):
-        pytest.skip("scenario artifacts not built yet (run test_e2e_ct first)")
+
+def test_report_writes_all_outputs(tmp_path):
     src = scenario.build_scenario_source()
     rx = Receiver(scenario.CFG, src, artifact_dir=scenario.CACHE_DIR)
+    rx.track_for_eph(n_ms=scenario.DURATION_MS - 200)
+    rx.decode(start_offset_ms=200)
     out = str(tmp_path / "report")
-    rx.report(out)
+    # the ct/vt kwargs match the e2e test stems, so cached artifacts are
+    # reused when the e2e suite ran first — but nothing is required
+    rx.report(out, ct_kw=dict(n_ms=4000, init_pos_ecef=INIT),
+              vt_kw=dict(n_ms=3000, ct_n_ms=4000, init_pos_ecef=INIT))
     files = sorted(os.listdir(out))
     assert files == ["task1_acquisition.png", "task2_tracking.png",
-                     "task3_ephemeris.png", "task4_wls.png",
-                     "task5_ekf.png"]
+                     "task3_ephemeris.csv", "task3_ephemeris.png",
+                     "task4_wls.png", "task5_ekf.png"]
     for f in files:
-        assert os.path.getsize(os.path.join(out, f)) > 10_000
+        if f.endswith(".png"):
+            assert os.path.getsize(os.path.join(out, f)) > 10_000
+    csv = open(os.path.join(out, "task3_ephemeris.csv")).read()
+    lines = csv.strip().splitlines()
+    assert lines[0] == "parameter," + ",".join(
+        f"PRN{p}" for p in scenario.SCN_PRNS)
+    assert len(lines) == 28  # header + 6 scalar + 21 parameter rows
+    row = {l.split(",")[0]: l.split(",")[1:] for l in lines[1:]}
+    assert abs(float(row["sqrta"][0])
+               - scenario.BASE_EPH["sqrta"]) < 1e-3  # LSB quantization
+    assert float(row["toe"][2]) == scenario.BASE_EPH["toe"]
+    # the nAcquired-style artifact was persisted by the usable-SV stage
+    z = np.load(os.path.join(scenario.CACHE_DIR, "nacquired_geo_scn_0.npz"))
+    assert list(z["sv"]) == list(scenario.SCN_PRNS)
+    assert z["snr_db"].shape == (5,)
