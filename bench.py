@@ -161,6 +161,95 @@ def bench_tracking(n_ch: int = 8, n_steps: int = 1000, reps: int = 3,
     return n_steps * S / dt, dt
 
 
+def bench_vt(n_ch: int = 8, n_steps: int = 1000, reps: int = 3,
+             replica: str = "pallas"):
+    """The vector-tracking hot loop: correlators + Kepler + atmosphere +
+    EKF as one scan (receiver/vt.py), on synthetic-but-plausible state
+    (a real constellation geometry is irrelevant to throughput)."""
+    import jax.numpy as jnp
+
+    from gps_sdr_tpu.config import ReceiverConfig
+    from gps_sdr_tpu.geo.ephemeris import Ephemeris
+    from gps_sdr_tpu.ops.cacode import ca_code_table
+    from gps_sdr_tpu.receiver.vt import VTParams, VTState, vt_scan
+    from gps_sdr_tpu.tracking import build_shift_tables_2d
+
+    cfg = ReceiverConfig()
+    S = cfg.signal.samples_per_ms
+    blk = -(-(S + 256) // 128) * 128
+    params = VTParams(replica=replica,
+                      remove_dc=cfg.file.data_precision == 2)
+    rng = np.random.default_rng(3)
+    base = dict(sqrta=5153.6413, ecc=0.0012, i0=0.9668, w=-0.8925,
+                deltan=4.3e-09, omegadot=-7.2e-09, idot=-4.2e-10,
+                cuc=1.5e-07, cus=2.4e-07, crc=287.5, crs=-2.6,
+                cic=-7.5e-09, cis=1.3e-08, toe=388800.0, toc=388800.0,
+                af0=1.8e-04, af1=2.0e-12, af2=0.0, tgd=-7.5e-09)
+    eph = Ephemeris(**{
+        k: jnp.asarray(np.full(n_ch, v, np.float64)) for k, v in base.items()
+    } | {"m0": jnp.asarray(rng.uniform(0, 2 * np.pi, n_ch)),
+         "omega0": jnp.asarray(rng.uniform(0, 2 * np.pi, n_ch))})
+    usr = np.array([-2.4e6, 5.38e6, 2.41e6])
+    n2 = 2 * n_ch
+    state = VTState(
+        ptr=jnp.zeros(n_ch, jnp.int64),
+        rem_chip=jnp.zeros(n_ch, jnp.float64),
+        code_freq=jnp.full(n_ch, cfg.signal.code_freq_basis, jnp.float64),
+        carr_freq=jnp.full(n_ch, cfg.signal.f_if + 1234.0, jnp.float64),
+        carr_freq_basis=jnp.full(n_ch, cfg.signal.f_if + 1234.0,
+                                 jnp.float64),
+        phase_fp=jnp.zeros(n_ch, jnp.int32),
+        pll_nco=jnp.zeros(n_ch, jnp.float64),
+        pll_last=jnp.zeros(n_ch, jnp.float64),
+        transmit_time=jnp.asarray(388800.0
+                                  + rng.uniform(0, 1e-3, n_ch) - 0.075),
+        predicted_pr_last=jnp.zeros(n_ch, jnp.float64),
+        iono_m=jnp.zeros(n_ch, jnp.float64),
+        tropo_m=jnp.zeros(n_ch, jnp.float64),
+        el_rad=jnp.full(n_ch, np.pi / 4), az_rad=jnp.zeros(n_ch),
+        total_state=jnp.asarray(np.concatenate([usr, np.zeros(3),
+                                                [0.0, 0.0]])),
+        state_cov=jnp.asarray(1e5 * np.diag([0.1] * 6 + [1.0, 1.0])),
+        r_diag=jnp.asarray(np.concatenate([np.full(n_ch, 0.3),
+                                           np.full(n_ch, 0.1)])),
+        innov_sq_sum=jnp.zeros(n2, jnp.float64),
+        step_count=jnp.asarray(0, jnp.int32),
+        zk=jnp.zeros((n_ch, params.cn0_window), jnp.float64),
+        snr_hist=jnp.full((n_ch, 3), 99.0, jnp.float64),
+        cn0=jnp.full(n_ch, 99.0, jnp.float64),
+        valid=jnp.ones(n_ch, bool))
+    margin = 0
+    if replica == "pallas":
+        tables, margin = build_shift_tables_2d(cfg, range(1, n_ch + 1), blk)
+        chip_tables = jnp.asarray(tables)
+    else:
+        chip_tables = jnp.asarray(np.stack(
+            [ca_code_table()[p] for p in range(n_ch)]), jnp.float32)
+    vals = rng.integers(-64, 64, size=((n_steps + 2) * S + blk, 2)
+                        ).astype(np.float32)
+    raw = (jnp.asarray(vals.T.copy()) if replica == "pallas"
+           else jnp.asarray(vals))
+    alpha = jnp.asarray(cfg.cmn.iono_alpha, jnp.float64)
+    beta = jnp.asarray(cfg.cmn.iono_beta, jnp.float64)
+
+    def run():
+        _, rec = vt_scan(raw, jnp.int64(0), state, chip_tables, eph,
+                         alpha, beta, params, n_steps,
+                         float(cfg.signal.fs), blk, float(cfg.signal.f_if),
+                         float(cfg.signal.fc),
+                         float(cfg.signal.code_freq_basis),
+                         int(cfg.cmn.day_of_year), margin)
+        return rec["corr"]
+
+    np.asarray(run()[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = run()
+    np.asarray(out[0, 0])
+    dt = (time.perf_counter() - t0) / reps
+    return n_steps * S / dt, dt
+
+
 def bench_segmented(n_ch: int = 2, n_segments: int = 8, n_ms: int = 8000,
                     halo_ms: int = 400, fs: float = 5e6):
     """Overlap-save time parallelism (parallel/time_segments.py): the
@@ -296,6 +385,10 @@ def main():
         trk32_sps, _ = bench_tracking(n_ch=32, replica=flagship_replica)
         mc_sps, _ = bench_tracking(n_steps=300, replica=flagship_replica,
                                    multicorr=True)
+        vt_sps, _ = bench_vt(
+            replica=flagship_replica if flagship_replica == "pallas"
+            else "nco")
+        vt_nco_sps, _ = bench_vt(replica="nco")
         seg_serial_sps, seg_sps = bench_segmented()
         acq = bench_acquisition()
     shard = bench_shard_overhead()
@@ -316,6 +409,9 @@ def main():
             "tracking_32ch_sps_per_ch_stream": round(trk32_sps, 0),
             "tracking_32ch_aggregate_ch_sps": round(32 * trk32_sps, 0),
             "tracking_multicorr25_sps": round(mc_sps, 0),
+            "vt_ekf_sps_per_chip": round(vt_sps, 0),
+            "vt_ekf_realtime_factor": round(vt_sps / 58e6, 2),
+            "vt_nco_replica_sps": round(vt_nco_sps, 0),
             "segmented_small_shape_serial_sps": round(seg_serial_sps, 0),
             "segmented_small_shape_8seg_sps": round(seg_sps, 0),
             "segmented_small_shape_speedup": round(seg_sps

@@ -94,6 +94,51 @@ class IFSampleSource:
         return np.stack([c.real, c.imag], axis=0).astype(np.float32)
 
 
+class ChunkPrefetcher:
+    """Overlap host-side chunk preparation with device compute
+    (SURVEY.md §2.9 pipeline-parallel row: the reference's stage chain
+    is fully sequential; round 1's chunk streaming was too).
+
+    The tracking drivers dispatch a device scan asynchronously, then
+    schedule the NEXT chunk's memmap-gather/deinterleave/float-cast on a
+    worker thread while the device works.  Window starts are
+    data-dependent (the code NCO drifts the pointers by ~tens of samples
+    per second), so the prefetch covers a slack margin and `fetch`
+    serves any contained window by slicing; a miss falls back to a
+    direct read.
+    """
+
+    def __init__(self, read_fn, slice_axis: int = 0):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._read = read_fn
+        self._axis = slice_axis
+        self._pool = ThreadPoolExecutor(1)
+        self._pending = None       # (start, n, future)
+        self.hits = 0
+        self.misses = 0
+
+    def prefetch(self, start: int, n: int) -> None:
+        self._pending = (start, n, self._pool.submit(self._read, start, n))
+
+    def fetch(self, start: int, n: int) -> np.ndarray:
+        if self._pending is not None:
+            p_start, p_n, fut = self._pending
+            self._pending = None
+            arr = fut.result()
+            if p_start <= start and start + n <= p_start + p_n:
+                self.hits += 1
+                off = start - p_start
+                sl = [slice(None)] * arr.ndim
+                sl[self._axis] = slice(off, off + n)
+                return arr[tuple(sl)]
+        self.misses += 1
+        return self._read(start, n)
+
+    def close(self) -> None:
+        self._pool.shutdown(wait=False)
+
+
 def write_if_file(path: str, iq: np.ndarray, file_cfg: FileConfig) -> None:
     """Write complex samples as an interleaved capture file."""
     dtype = np.int8 if file_cfg.data_precision == 1 else np.int16

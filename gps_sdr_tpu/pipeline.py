@@ -384,7 +384,7 @@ class Receiver:
                     ct_n_ms: Optional[int] = None,
                     init_pos_ecef: Optional[np.ndarray] = None,
                     multicorr: Optional[bool] = None,
-                    chunk_ms: int = 1000):
+                    chunk_ms: int = 1000, replica: str = "auto"):
         """Stage 6 (SDR_main.m:94-99): vector tracking + EKF, warm-started
         from the CT stage (trackingVT_POS_updated.m:66-70,109-132).
 
@@ -403,7 +403,8 @@ class Receiver:
         n_ms = n_ms or cfg.track.ms_vt
         stem = (f"navvt_{'mc_' if multicorr else ''}{cfg.file.name}"
                 f"_{n_ms}_{ct_n_ms or 'def'}"
-                f"_{self._init_token(init_pos_ecef)}.pkl")
+                + ("" if replica == "auto" else f"_{replica}")
+                + f"_{self._init_token(init_pos_ecef)}.pkl")
         if self._have(stem):
             with open(self._path(stem), "rb") as f:
                 return pickle.load(f)
@@ -439,7 +440,7 @@ class Receiver:
         vt_kw = dict(remove_dc=cfg.file.data_precision == 2,
                      pll_bw_hz=cfg.track.pll_bw_hz,
                      pll_damping=cfg.track.pll_damping,
-                     pll_gain=cfg.track.pll_gain)
+                     pll_gain=cfg.track.pll_gain, replica=replica)
         params = (VTParams.multicorr(**vt_kw) if multicorr
                   else VTParams(**vt_kw))
         state = init_vt_state(cfg, ct_rec, list(range(len(pos_svs))),

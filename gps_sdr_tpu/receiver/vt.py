@@ -110,6 +110,9 @@ class VTParams:
                                     # windows); 0 disables
     cn0_window: int = 20            # K of the Zk window (trackingCT.m:120)
     r_masked: float = 1e12          # R inflation for gated-out channels
+    replica: str = "auto"           # correlator engine (tracking.py
+                                    # semantics: auto → fused Pallas
+                                    # kernel on TPU, exact NCO elsewhere)
 
     @staticmethod
     def multicorr(**kw) -> "VTParams":
@@ -124,14 +127,25 @@ class VTParams:
 
 @functools.partial(jax.jit, static_argnames=(
     "params", "n_steps", "fs", "blk", "f_if", "fc", "code_freq_basis",
-    "doy"))
+    "doy", "margin"))
 def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
             iono_alpha, iono_beta, params: VTParams, n_steps: int, fs: float,
             blk: int, f_if: float, fc: float, code_freq_basis: float,
-            doy: int):
-    """Run `n_steps` ms of vector tracking inside one raw chunk."""
+            doy: int, margin: int = 0):
+    """Run `n_steps` ms of vector tracking inside one raw chunk.
+
+    params.replica selects the correlator engine: "nco" vmaps the exact
+    Q32 replica (raw is (L, 2) pairs, chip_tables (N, 1023)); "pallas"
+    runs the fused kernel (raw is (2, L) planes, chip_tables the
+    build_shift_tables_2d layout with its `margin`)."""
     n_ch = state.ptr.shape[0]
     taps = jnp.asarray(params.taps, jnp.float64)
+    use_pallas = params.replica == "pallas"
+    if use_pallas:
+        from gps_sdr_tpu.ops.pallas_correlator import correlator_bank
+        interpret = jax.default_backend() != "tpu"
+        nq = blk // 128
+        ntaps = len(params.taps)
     tau1, tau2 = loop_coefficients(params.pll_bw_hz, params.pll_damping,
                                    params.pll_gain)
     dt = params.pdi_ms * 1e-3
@@ -192,14 +206,34 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
         # --- correlate (fixed-shape bank); block length `num` was sized
         # with the previous code frequency, replica steps at the new one
         # (…:164,227-232) ---
-        def chan_corr(ptr, rem, cfq, cfr, pfp, chips, n):
-            return correlate_block(raw, chunk_start, ptr, rem, cfq, cfr, pfp,
-                                   chips, taps, fs, n_chips, blk, "ceil",
-                                   params.remove_dc, num=n)
+        if use_pallas:
+            off = (st.ptr - chunk_start).astype(jnp.int32)
+            xw = jax.vmap(lambda o: jax.lax.dynamic_slice(
+                raw, (jnp.int32(0), o), (2, blk)))(off)
+            xw = xw.reshape(n_ch, 2, nq, 128)
+            step_nom = code_freq_basis / fs
+            pos = margin + (st.rem_chip[:, None] + taps[None, :]) / step_nom
+            i0 = jnp.floor(pos).astype(jnp.int32)
+            frac = (pos - jnp.floor(pos)).astype(jnp.float32)
+            carr_fp = jnp.round(st.carr_freq / fs * 4294967296.0
+                                ).astype(jnp.int64).astype(jnp.int32)
+            corr = correlator_bank(xw, chip_tables, i0, frac, st.phase_fp,
+                                   carr_fp, num.astype(jnp.int32),
+                                   ntaps=ntaps, remove_dc=params.remove_dc,
+                                   interpret=interpret)
+            num2 = num
+            rem_new = (num.astype(jnp.float64) * (code_freq / fs)
+                       + st.rem_chip - n_chips)
+            phase_new = st.phase_fp + num.astype(jnp.int32) * carr_fp
+        else:
+            def chan_corr(ptr, rem, cfq, cfr, pfp, chips, n):
+                return correlate_block(raw, chunk_start, ptr, rem, cfq, cfr,
+                                       pfp, chips, taps, fs, n_chips, blk,
+                                       "ceil", params.remove_dc, num=n)
 
-        corr, num2, rem_new, phase_new = jax.vmap(chan_corr)(
-            st.ptr, st.rem_chip, code_freq, st.carr_freq, st.phase_fp,
-            chip_tables, num)
+            corr, num2, rem_new, phase_new = jax.vmap(chan_corr)(
+                st.ptr, st.rem_chip, code_freq, st.carr_freq, st.phase_fp,
+                chip_tables, num)
         e_i, e_q = corr[:, params.i_early, 0], corr[:, params.i_early, 1]
         p_i, p_q = corr[:, params.i_prompt, 0], corr[:, params.i_prompt, 1]
         l_i, l_q = corr[:, params.i_late, 0], corr[:, params.i_late, 1]
@@ -411,31 +445,61 @@ def run_vector_tracking(source: IFSampleSource, cfg: ReceiverConfig,
                         init_pos_ecef: np.ndarray, chunk_ms: int = 1000
                         ) -> Tuple[VTTrackRecords, VTSolutions, VTState]:
     """Host driver for the VT scan: chunk the capture, collect records."""
+    from gps_sdr_tpu.tracking import build_shift_tables_2d, resolve_replica
+
     S = cfg.signal.samples_per_ms
     fs = float(cfg.signal.fs)
     blk = -(-(S * params.pdi_ms + 256) // 128) * 128
-    chip_tables = jnp.asarray(
-        np.stack([ca_code_table()[p - 1] for p in prns]), jnp.float32)
+    replica = resolve_replica(params.replica)
+    if replica not in ("nco", "pallas"):
+        raise ValueError(f"VT supports replica 'nco' or 'pallas', "
+                         f"got {replica!r}")
+    params = dataclasses.replace(params, replica=replica)
+    margin = 0
+    if replica == "pallas":
+        tables, margin = build_shift_tables_2d(cfg, prns, blk)
+        chip_tables = jnp.asarray(tables)
+    else:
+        chip_tables = jnp.asarray(
+            np.stack([ca_code_table()[p - 1] for p in prns]), jnp.float32)
     alpha = jnp.asarray(cfg.cmn.iono_alpha, jnp.float64)
     beta = jnp.asarray(cfg.cmn.iono_beta, jnp.float64)
 
+    import functools
+
+    from gps_sdr_tpu.io.ifdata import ChunkPrefetcher
+
+    read = functools.partial(
+        source.read_iq_planes if replica == "pallas"
+        else source.read_iq_pairs, remove_dc=False)
+    prefetcher = ChunkPrefetcher(
+        read, slice_axis=1 if replica == "pallas" else 0)
     recs: Dict[str, list] = {}
     done = 0
-    while done < n_ms:
-        nb = min(chunk_ms, n_ms - done)
-        ptr_min = int(np.min(np.asarray(state.ptr)))
-        ptr_max = int(np.max(np.asarray(state.ptr)))
-        length = (ptr_max - ptr_min) + nb * params.pdi_ms * S + blk + 64
-        raw = jnp.asarray(source.read_iq_pairs(ptr_min, length,
-                                               remove_dc=False))
-        state, rec = vt_scan(raw, jnp.int64(ptr_min), state, chip_tables,
-                             eph_struct, alpha, beta, params, nb, fs, blk,
-                             float(cfg.signal.f_if), float(cfg.signal.fc),
-                             float(cfg.signal.code_freq_basis),
-                             int(cfg.cmn.day_of_year))
-        for k, v in rec.items():
-            recs.setdefault(k, []).append(np.asarray(v))
-        done += nb
+    try:
+        while done < n_ms:
+            nb = min(chunk_ms, n_ms - done)
+            ptr_min = int(np.min(np.asarray(state.ptr)))
+            ptr_max = int(np.max(np.asarray(state.ptr)))
+            length = (ptr_max - ptr_min) + nb * params.pdi_ms * S + blk + 64
+            raw = jnp.asarray(prefetcher.fetch(ptr_min, length))
+            state, rec = vt_scan(raw, jnp.int64(ptr_min), state, chip_tables,
+                                 eph_struct, alpha, beta, params, nb, fs, blk,
+                                 float(cfg.signal.f_if), float(cfg.signal.fc),
+                                 float(cfg.signal.code_freq_basis),
+                                 int(cfg.cmn.day_of_year), margin)
+            nb_next = min(chunk_ms, n_ms - done - nb)
+            if nb_next > 0:
+                adv = nb * params.pdi_ms * S
+                prefetcher.prefetch(
+                    ptr_min + adv - 2 * S,
+                    (ptr_max - ptr_min) + nb_next * params.pdi_ms * S
+                    + blk + 64 + 4 * S)
+            for k, v in rec.items():
+                recs.setdefault(k, []).append(np.asarray(v))
+            done += nb
+    finally:
+        prefetcher.close()
     cat = {k: np.concatenate(v) for k, v in recs.items()}
 
     pos = cat["total_state"][:, :3]

@@ -539,42 +539,63 @@ def run_tracking(source: IFSampleSource, cfg: ReceiverConfig, prns,
             f"file has {source.n_samples}")
     n_blocks_total = n_ms // params.pdi_ms
     blocks_per_chunk = max(1, chunk_ms // params.pdi_ms)
+    use_planes = params.replica == "pallas"
+    read_fn = functools.partial(
+        source.read_iq_planes if use_planes else source.read_iq_pairs,
+        remove_dc=False)
+    # overlap the next chunk's host-side read with the device scan of
+    # the current one (the scan dispatch is async; SURVEY.md §2.9 PP)
+    prefetcher = None
+    if not per_channel_io:
+        from gps_sdr_tpu.io.ifdata import ChunkPrefetcher
+        prefetcher = ChunkPrefetcher(read_fn,
+                                     slice_axis=1 if use_planes else 0)
     parts = []
     done = 0
-    while done < n_blocks_total:
-        nb = min(blocks_per_chunk, n_blocks_total - done)
-        ptrs = np.asarray(state.ptr)
-        ptr_min = int(np.min(ptrs))
-        ptr_max = int(np.max(ptrs))
-        win = nb * params.pdi_ms * S + blk + 64
-        if per_channel_io:
-            # channels far apart (time-segmented): per-channel windows
-            raw = jnp.asarray(np.stack([
-                source.read_iq_pairs(int(p), win, remove_dc=False)
-                for p in ptrs]))
-            start = jnp.asarray(ptrs, jnp.int64)
-        elif params.replica == "pallas":
-            raw = jnp.asarray(source.read_iq_planes(
-                ptr_min, (ptr_max - ptr_min) + win, remove_dc=False))
-            start = jnp.int64(ptr_min)
-        else:
-            raw = jnp.asarray(source.read_iq_pairs(
-                ptr_min, (ptr_max - ptr_min) + win, remove_dc=False))
-            start = jnp.int64(ptr_min)
-        state, rec = track_scan(raw, start, state, chip_tables,
-                                params, nb, fs, blk,
-                                float(cfg.signal.code_freq_basis), margin)
-        parts.append(TrackRecords(
-            corr=np.asarray(rec["corr"]),
-            code_err=np.asarray(rec["code_err"]),
-            carr_err=np.asarray(rec["carr_err"]),
-            code_freq=np.asarray(rec["code_freq"]),
-            carr_freq=np.asarray(rec["carr_freq"]),
-            num_sample=np.asarray(rec["num_sample"]),
-            rem_chip=np.asarray(rec["rem_chip"]),
-            rem_phase=np.asarray(rec["rem_phase"]),
-            absolute_sample=np.asarray(rec["absolute_sample"]),
-            i_early=params.i_early, i_prompt=params.i_prompt,
-            i_late=params.i_late))
-        done += nb
+    try:
+        while done < n_blocks_total:
+            nb = min(blocks_per_chunk, n_blocks_total - done)
+            ptrs = np.asarray(state.ptr)
+            ptr_min = int(np.min(ptrs))
+            ptr_max = int(np.max(ptrs))
+            win = nb * params.pdi_ms * S + blk + 64
+            if per_channel_io:
+                # channels far apart (time-segmented): per-channel windows
+                raw = jnp.asarray(np.stack([
+                    source.read_iq_pairs(int(p), win, remove_dc=False)
+                    for p in ptrs]))
+                start = jnp.asarray(ptrs, jnp.int64)
+            else:
+                length = (ptr_max - ptr_min) + win
+                raw = jnp.asarray(prefetcher.fetch(ptr_min, length))
+                start = jnp.int64(ptr_min)
+            state, rec = track_scan(raw, start, state, chip_tables,
+                                    params, nb, fs, blk,
+                                    float(cfg.signal.code_freq_basis),
+                                    margin)
+            nb_next = min(blocks_per_chunk, n_blocks_total - done - nb)
+            if prefetcher is not None and nb_next > 0:
+                # pointers advance by ~nb·pdi·S with ≤ tens of samples of
+                # code-Doppler drift; 2·S of slack each side covers it
+                adv = nb * params.pdi_ms * S
+                prefetcher.prefetch(
+                    ptr_min + adv - 2 * S,
+                    (ptr_max - ptr_min)
+                    + nb_next * params.pdi_ms * S + blk + 64 + 4 * S)
+            parts.append(TrackRecords(
+                corr=np.asarray(rec["corr"]),
+                code_err=np.asarray(rec["code_err"]),
+                carr_err=np.asarray(rec["carr_err"]),
+                code_freq=np.asarray(rec["code_freq"]),
+                carr_freq=np.asarray(rec["carr_freq"]),
+                num_sample=np.asarray(rec["num_sample"]),
+                rem_chip=np.asarray(rec["rem_chip"]),
+                rem_phase=np.asarray(rec["rem_phase"]),
+                absolute_sample=np.asarray(rec["absolute_sample"]),
+                i_early=params.i_early, i_prompt=params.i_prompt,
+                i_late=params.i_late))
+            done += nb
+    finally:
+        if prefetcher is not None:
+            prefetcher.close()
     return TrackRecords.concatenate(parts), state

@@ -67,3 +67,29 @@ def test_vt_diagnostics_recorded(vt_result):
     assert sol.kalman_gain.shape == (T, 8, 2 * n_ch)
     assert sol.state_cov_diag.shape == (T, 8)
     assert np.all(sol.state_cov_diag > 0)
+
+
+def test_vt_pallas_replica_converges():
+    """The fused-kernel correlator through the whole VDFLL (interpret
+    mode on CPU; the same kernel lowers to Mosaic on the chip): the EKF
+    holds the same fix as the exact-NCO replica."""
+    import numpy as np
+
+    from gps_sdr_tpu.pipeline import Receiver
+
+    src = scenario.build_scenario_source()
+    rx = Receiver(scenario.CFG, src, artifact_dir=scenario.CACHE_DIR)
+    truth = np.asarray(llh2xyz(np.asarray(scenario.TRUTH_LLH)))
+    init = truth + np.array([3000.0, -2000.0, 1500.0])
+    trk, sol = rx.vt_position(n_ms=600, ct_n_ms=4000, init_pos_ecef=init,
+                              replica="pallas")
+    _, sol_nco = rx.vt_position(n_ms=600, ct_n_ms=4000, init_pos_ecef=init,
+                                replica="nco")
+    err = np.linalg.norm(sol.usr_pos - truth, axis=1)
+    err_nco = np.linalg.norm(sol_nco.usr_pos - truth, axis=1)
+    # same fix quality as the exact-NCO replica over the settled tail
+    # (the EKF is still converging from the CT handoff this early)
+    m_p, m_n = np.median(err[300:]), np.median(err_nco[300:])
+    assert m_p < m_n + 10.0, (m_p, m_n)
+    d = np.linalg.norm(sol.usr_pos - sol_nco.usr_pos, axis=1)
+    assert np.median(d[300:]) < 12.0, np.median(d[300:])

@@ -158,3 +158,58 @@ def test_shift_replica_matches_nco(tracked):
     rel = np.abs(a - b) / np.maximum(np.abs(b), 1.0)
     assert np.median(rel) < 0.04, np.median(rel)
     assert np.mean(np.sign(a) == np.sign(b)) > 0.999
+
+
+def test_chunk_prefetcher_unit():
+    from gps_sdr_tpu.io.ifdata import ChunkPrefetcher
+
+    data = np.arange(1000, dtype=np.float32)
+    calls = []
+
+    def read(start, n):
+        calls.append((start, n))
+        return data[start:start + n]
+
+    pf = ChunkPrefetcher(read, slice_axis=0)
+    # miss: nothing prefetched
+    np.testing.assert_array_equal(pf.fetch(10, 5), data[10:15])
+    assert pf.misses == 1
+    # hit: contained window served by slicing
+    pf.prefetch(100, 50)
+    np.testing.assert_array_equal(pf.fetch(110, 20), data[110:130])
+    assert pf.hits == 1 and len(calls) == 2
+    # miss: prefetched window does not contain the request
+    pf.prefetch(100, 50)
+    np.testing.assert_array_equal(pf.fetch(140, 20), data[140:160])
+    assert pf.misses == 2
+    pf.close()
+
+
+def test_chunked_run_equals_single_chunk():
+    """Chunked streaming with prefetch must be bit-identical to one
+    chunk (the prefetcher serves sliced windows of the same samples)."""
+    cfg = CFG
+    svs = [SyntheticSV(prn=9, amplitude=2.5, doppler_hz=987.0,
+                       code_delay_samples=1500.0),
+           SyntheticSV(prn=23, amplitude=2.2, doppler_hz=-2100.0,
+                       code_delay_samples=100.0)]
+    iq = generate_if_samples(cfg, svs, duration_ms=70,
+                             noise_std=4.0, seed=8)
+    vals = np.empty(2 * iq.size)
+    vals[0::2] = iq.real
+    vals[1::2] = iq.imag
+    src = IFSampleSource.from_array(
+        np.clip(np.round(vals), -127, 127).astype(np.int8), cfg.file)
+    delays = np.array([sv.code_delay_samples for sv in svs], np.int64)
+    fines = np.array([cfg.signal.f_if + sv.doppler_hz for sv in svs])
+    params = TrackParams.epl(cfg)
+    recs = []
+    for chunk_ms in (1000, 17):
+        st = init_track_state(cfg, delays, fines)
+        rec, _ = run_tracking(src, cfg, [sv.prn for sv in svs],
+                              st, params, 60, chunk_ms=chunk_ms)
+        recs.append(rec)
+    np.testing.assert_array_equal(recs[0].corr, recs[1].corr)
+    np.testing.assert_array_equal(recs[0].absolute_sample,
+                                  recs[1].absolute_sample)
+    np.testing.assert_array_equal(recs[0].carr_freq, recs[1].carr_freq)
