@@ -98,9 +98,14 @@ class TrackConfig:
     pll_gain: float = 0.25
     ms_eph_1ms: int = 1000        # track.msToProcessCT_1ms
     ms_eph_10ms: int = 40000      # track.msToProcessCT_10ms
-    ms_ct_pos: int = 3000         # track.ctPOS
+    ms_ct_pos: int = 3000         # track.ctPOS ("number of index")
     ms_vt: int = 5000             # track.msToProcessVT
     pdi_ms: int = 1               # coherent integration per loop update
+    # CT-POS per-channel coherent-integration switch: channels move from
+    # pdi=1 ms to pdi=10 ms at ct_pdi_switch_ms + countinx rows
+    # (trackingCT_POS_updated.m:183,294 switches at msToProcessCT_1ms).
+    # None keeps the whole stage at pdi=1.
+    ct_pdi_switch_ms: Optional[int] = None
     # Correlator replica engine: "auto" resolves to the fused Pallas
     # kernel on TPU (ops/pallas_correlator.py) and the exact Q32 NCO
     # replica elsewhere; "nco"/"shift"/"pallas" force a path.
@@ -168,8 +173,15 @@ class ReceiverConfig:
 
 
 def opensky_config(path: str = "") -> ReceiverConfig:
-    """The Opensky capture configuration (58 MHz int8 IQ, IF 4.58 MHz)."""
-    return ReceiverConfig(file=FileConfig(path=path, name="Opensky"))
+    """The Opensky capture configuration (58 MHz int8 IQ, IF 4.58 MHz).
+
+    Matches the reference run end to end, including the CT-POS pdi
+    1→10 ms switch at msToProcessCT_1ms + countinx (the shipped
+    tckRstCT_10ms_Opensky artifact) — the generic default leaves the
+    switch off because n_ms then counts iterations, not signal ms.
+    """
+    return ReceiverConfig(file=FileConfig(path=path, name="Opensky"),
+                          track=TrackConfig(ct_pdi_switch_ms=1000))
 
 
 def urban_config(path: str = "") -> ReceiverConfig:

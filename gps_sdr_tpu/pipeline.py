@@ -307,6 +307,8 @@ class Receiver:
         cfg = self.cfg
         if multicorr is None:
             multicorr = cfg.cmn.multicorr_ct
+        if pdi_switch_ms is None:
+            pdi_switch_ms = cfg.track.ct_pdi_switch_ms
         n_ms = n_ms or cfg.track.ms_ct_pos
         tag = "mc" if multicorr else "epl"
         key = (f"{tag}_{cfg.file.name}_{n_ms}"

@@ -278,14 +278,21 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
         code_err = -0.5 * (e - l) / jnp.maximum(e + l, 1e-30)
         z_pr = code_err * C_LIGHT / code_freq
 
-        # --- nav-epoch SV states & H matrix (…:357-383) ---
+        # --- nav-epoch SV states & H matrix (…:357-383).  The reference
+        # re-runs the full Kepler solver at the common epoch
+        # (trackingVT_POS_updated.m:360); the epoch is ≤ a few samples
+        # (≈0.1 µs) before the per-channel transmit times, so a
+        # first-order extrapolation along the SV velocity is sub-mm
+        # equivalent and halves the per-ms Kepler cost (emulated f64 is
+        # the VT throughput bottleneck on TPU) ---
         num_min = jnp.min(num2) - 1
-        tt_pos = tt - (num2 - num_min).astype(jnp.float64) / fs
-        svp = sv_pos_vel_clock(eph, tt_pos)
-        pred_pr_pos = (jnp.linalg.norm(svp["pos"] - est_pos[None, :], axis=-1)
-                       + clk_bias + svp["clk_m"] - svp["tgd_s"] * C_LIGHT
+        dt_pos = (num2 - num_min).astype(jnp.float64) / fs
+        tt_pos = tt - dt_pos
+        svp_pos = sv_pos - sv_vel * dt_pos[:, None]
+        pred_pr_pos = (jnp.linalg.norm(svp_pos - est_pos[None, :], axis=-1)
+                       + clk_bias + sv_clk - tgd_m
                        - tropo - iono)
-        svp_rot = earth_rotation_correction(svp["pos"], pred_pr_pos)
+        svp_rot = earth_rotation_correction(svp_pos, pred_pr_pos)
         diff = svp_rot - est_pos[None, :]
         rr = jnp.linalg.norm(diff, axis=-1, keepdims=True)
         a = diff / rr                                     # unit LOS (N,3)
@@ -299,8 +306,8 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
         # — the OPPOSITE sign convention from the WLS dtRV it warm-starts
         # from (the filter re-converges within a few hundred ms).
         prr_meas = (carr_freq - f_if) * C_LIGHT / fc
-        prr_pred = jnp.sum((est_vel[None, :] - svp["vel"]) * a, axis=-1)
-        z_prr = prr_pred - prr_meas - clk_drift + svp["clk_rate_ms"]
+        prr_pred = jnp.sum((est_vel[None, :] - sv_vel) * a, axis=-1)
+        z_prr = prr_pred - prr_meas - clk_drift + sv_clk_rate
         z = jnp.concatenate([z_pr, z_prr])
 
         # --- EKF predict + update (…:388-404); gated-out channels have
@@ -347,7 +354,7 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
                    absolute_sample=st.ptr + num2,
                    total_state=total, state_cov_diag=jnp.diagonal(P),
                    kalman_gain=K, innovation=z, r_diag=r_diag,
-                   el=el, az=az, sv_vel=svp["vel"],
+                   el=el, az=az, sv_vel=sv_vel,
                    local_time=jnp.min(tt_pos), transmit_time=tt,
                    cn0=cn0, valid=valid)
         return new_state, rec
