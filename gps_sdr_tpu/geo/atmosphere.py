@@ -125,3 +125,46 @@ def tropo_unb3_delay(doy, lat_deg, alt_m, el_deg):
     cos_el = jnp.cos(jnp.deg2rad(jnp.asarray(el_deg, jnp.float64)))
     m_dry = 1.0 / jnp.sqrt(1.0 - cos_el * cos_el / 1.002001)
     return k_dry * m_dry + k_wet * m_dry
+
+
+def igs_tec_slant_delay(time_user_s, user_lat_deg, user_lon_deg, el_rad,
+                        grid_tecu_early, grid_tecu_late,
+                        time_early_s, time_late_s,
+                        corner_sw=(22.5, 120.0), d_lat=2.5, d_lon=5.0,
+                        shell_h_km=450.0, f_hz=1575.42e6):
+    """IGS TEC-grid ionospheric slant delay [m] — the reference's unused
+    alternate model `geo/igs_iono.m` (hard-coded 4-corner grid, two
+    epochs 2 h apart, thin-shell obliquity).
+
+    The grid is a parameter here instead of a hard-coded capture
+    snapshot: `grid_tecu_early/late` are the 4 corner vertical-TEC
+    values [TECU] at `time_early_s`/`time_late_s`, ordered
+    (SW, SE, NE, NW) around the cell whose south-west corner is
+    `corner_sw` (igs_iono.m:10-25 lists them per capture).  Time
+    interpolation is linear between the two epochs (igs_iono.m:27-30),
+    position interpolation bilinear in the cell, the obliquity factor is
+    the single-layer model sec(asin(Re/(Re+h)·cos(el)))
+    (igs_iono.m:44), and the vertical delay is 40.3/f²·TEC
+    (igs_iono.m:45).
+
+    NB the reference file carries transcription defects it never has to
+    face because it is dead code (a shadowed corner variable at
+    igs_iono.m:16-17, missing parentheses in the bilinear weights
+    :35-36, a stray `cos(...)`/`*1-1` in the vertical delay :39,:45);
+    this implements the model those lines intend.
+    """
+    w = (jnp.asarray(time_user_s, jnp.float64) - time_early_s) / (
+        time_late_s - time_early_s)
+    tec4 = ((1.0 - w) * jnp.asarray(grid_tecu_early, jnp.float64)
+            + w * jnp.asarray(grid_tecu_late, jnp.float64))
+    sw, se, ne, nw = tec4[0], tec4[1], tec4[2], tec4[3]
+    p = (jnp.asarray(user_lat_deg, jnp.float64) - corner_sw[0]) / d_lat
+    q = (jnp.asarray(user_lon_deg, jnp.float64) - corner_sw[1]) / d_lon
+    tec = ((1 - p) * (1 - q) * sw + (1 - p) * q * se
+           + p * q * ne + p * (1 - q) * nw)
+    re_km = 6378.137
+    cos_el = jnp.cos(jnp.asarray(el_rad, jnp.float64))
+    obliq = 1.0 / jnp.cos(jnp.arcsin(
+        re_km / (re_km + shell_h_km) * cos_el))
+    i_vert = 40.3 / (f_hz * f_hz) * tec * 1e16
+    return obliq * i_vert

@@ -193,15 +193,20 @@ class ChannelDecodeResult:
     n_bits: int
 
 
-def decode_channel(p_i: np.ndarray, start_offset_ms: int = 3000
-                   ) -> ChannelDecodeResult:
+def decode_channel(p_i: np.ndarray, start_offset_ms: int = 3000,
+                   repair_outliers: bool = True) -> ChannelDecodeResult:
     """Decode one channel's prompt in-phase per-ms stream.
 
     `start_offset_ms` skips the tracking-loop transient
-    (naviDecode_updated.m:34).
+    (naviDecode_updated.m:34).  `start_offset_ms=0, repair_outliers=False`
+    reproduces the legacy `naviDecode.m` behavior — the pre-2020 variant
+    differs from `naviDecode_updated.m` exactly by those two robustness
+    fixes (no transient skip, no isolated-sign-flip repair).
     """
     rec = EphemerisRecord()
-    raw = repair_sign_outliers(np.asarray(p_i, dtype=np.float64)[start_offset_ms:])
+    raw = np.asarray(p_i, dtype=np.float64)[start_offset_ms:]
+    if repair_outliers:
+        raw = repair_sign_outliers(raw)
     sgn = np.where(raw >= 0, 1, -1)
     # first bit edge (naviDecode_updated.m:67-72)
     edges = np.nonzero(sgn[1:] != sgn[:-1])[0]
@@ -268,16 +273,19 @@ def decode_channel(p_i: np.ndarray, start_offset_ms: int = 3000
     return ChannelDecodeResult(eph=rec, nav1_ms=nav1, n_bits=int(n))
 
 
-def decode_all(prompt_i: Dict[int, np.ndarray], start_offset_ms: int = 3000):
+def decode_all(prompt_i: Dict[int, np.ndarray], start_offset_ms: int = 3000,
+               repair_outliers: bool = True):
     """Decode every channel: {prn: P_i per-ms stream} → (eph, sbf).
 
     Returns ({prn: EphemerisRecord}, {"nav1": {prn: ms}, "sfb1": {prn: bit}}).
+    Pass `start_offset_ms=0, repair_outliers=False` for the legacy
+    `naviDecode.m` behavior (see decode_channel).
     """
     eph: Dict[int, EphemerisRecord] = {}
     nav1: Dict[int, int] = {}
     sfb1: Dict[int, int] = {}
     for prn, stream in prompt_i.items():
-        res = decode_channel(stream, start_offset_ms)
+        res = decode_channel(stream, start_offset_ms, repair_outliers)
         eph[prn] = res.eph
         nav1[prn] = res.nav1_ms
         if res.eph.sfb1:

@@ -382,6 +382,46 @@ class Receiver:
                 pickle.dump(nav, f)
         return rec, nav
 
+    def ct_position_kf(self, n_ms: Optional[int] = None,
+                       init_pos_ecef: Optional[np.ndarray] = None,
+                       epoch_ms: Optional[int] = None,
+                       chunk_ms: int = 1000):
+        """Legacy stage (trackingCT_POS.m, the generation SDR_main.m no
+        longer calls): 1 ms E/P/L tracking + per-epoch position-domain
+        8-state EKF over relative pseudoranges (receiver/ct_legacy.py).
+        Kept as the real `solu.mode == 1` path."""
+        from gps_sdr_tpu.receiver.ct_legacy import run_ct_positioning_kf
+
+        cfg = self.cfg
+        n_ms = n_ms or cfg.track.ms_ct_pos
+        key = (f"kf_{cfg.file.name}_{n_ms}_{epoch_ms or 'def'}"
+               f"_{self._init_token(init_pos_ecef)}")
+        stem_t, stem_n = f"tckct_{key}.npz", f"navct_{key}.pkl"
+        eph, sbf = self.decode()
+        pos_svs = self.usable_svs()
+        if len(pos_svs) < 4:
+            raise ValueError(f"only {len(pos_svs)} usable SVs")
+        acq = self.acquisition()
+        if init_pos_ecef is None:
+            init_pos_ecef = np.asarray(llh2xyz(np.asarray(
+                cfg.solu.truth_llh)))
+        if self._have(stem_t) and self._have(stem_n):
+            with open(self._path(stem_n), "rb") as f:
+                return self._load_records(self._path(stem_t)), pickle.load(f)
+        chans = [acq.channel_index(p) for p in pos_svs]
+        state = init_track_state(cfg, acq.code_delay[chans],
+                                 acq.fine_freq_hz[chans])
+        rec, _ = run_tracking(self.source, cfg, pos_svs, state,
+                              TrackParams.pos_epl(cfg), n_ms,
+                              chunk_ms=chunk_ms)
+        nav = run_ct_positioning_kf(rec, cfg, pos_svs, eph, sbf,
+                                    init_pos_ecef, epoch_ms=epoch_ms)
+        if self.dir:
+            self._save_records(self._path(stem_t), rec)
+            with open(self._path(stem_n), "wb") as f:
+                pickle.dump(nav, f)
+        return rec, nav
+
     def vt_position(self, n_ms: Optional[int] = None,
                     ct_n_ms: Optional[int] = None,
                     init_pos_ecef: Optional[np.ndarray] = None,
@@ -461,13 +501,14 @@ class Receiver:
 
     def position(self, **kw):
         """Mode dispatch (SDR_main.m:73-121 on solu.mode / cmn.vtEnable):
-        mode 0 → WLS (CT) solutions; mode 2 (with cmn.vt_enable) → VT/EKF
-        warm-started from CT.  Mode 1 ("conventional KF") behaves as WLS:
-        the reference initializes an 8-state KF in the CT-POS stage but
-        never updates it (trackingCT_POS_updated.m:52-84), so its mode-1
-        output is the WLS record."""
+        mode 0 → WLS (CT) solutions; mode 1 → the legacy position-domain
+        EKF over relative pseudoranges (trackingCT_POS.m via
+        receiver/ct_legacy.py); mode 2 (with cmn.vt_enable) → VT/EKF
+        warm-started from CT."""
         if self.cfg.solu.mode == 2 and self.cfg.cmn.vt_enable:
             return self.vt_position(**kw)
+        if self.cfg.solu.mode == 1:
+            return self.ct_position_kf(**kw)
         return self.ct_position(**kw)
 
     def report(self, out_dir: str, vt: bool = True,

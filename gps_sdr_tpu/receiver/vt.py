@@ -115,6 +115,23 @@ class VTParams:
                                     # kernel on TPU, exact NCO elsewhere)
 
     @staticmethod
+    def legacy(**kw) -> "VTParams":
+        """The legacy total-state VT (trackingVT_POS.m): fixed
+        measurement noise (no adaptive-R machinery, R_pr=1e-1,
+        R_prr=1e-2, trackingVT_POS.m:75-76) and the 1e1-scaled process
+        noise (:74).  Its per-ms total-state update — state re-seeded
+        as [0,0,0,v,0,ḋ], delta added to pos/clock, vel/drift
+        overwritten (:375-387) — is algebraically the error-state
+        update this engine runs, so the same scan covers both
+        formulations; only the noise model and 3000 ms run length
+        differ (:37)."""
+        defaults = dict(r_pr0=1e-1, r_prr0=1e-2,
+                        r_update_ms=1 << 30,       # adaptive R off
+                        q_pos=1.0, q_vel=0.1, q_clk=100.0, q_clkd=10.0)
+        defaults.update(kw)
+        return VTParams(**defaults)
+
+    @staticmethod
     def multicorr(**kw) -> "VTParams":
         """29-tap grid 0.7:-0.05:-0.7 with the loop on ±0.5/P taps
         (trackingVT_POS_updated.m:29,230-232; multicorrelator variant
@@ -354,6 +371,11 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
                    absolute_sample=st.ptr + num2,
                    total_state=total, state_cov_diag=jnp.diagonal(P),
                    kalman_gain=K, innovation=z, r_diag=r_diag,
+                   # per-measurement equivalent loop bandwidth [Hz]:
+                   # diag(H·K)/4/293/0.001 — the 2021 VT variant's
+                   # diagnostic (trackingVT_POS_updated_by_20210621.m:384;
+                   # 293 m/chip, 1 ms update)
+                   loop_bw_hz=jnp.diagonal(H @ K) / (4.0 * 293.0 * 1e-3),
                    el=el, az=az, sv_vel=sv_vel,
                    local_time=jnp.min(tt_pos), transmit_time=tt,
                    cn0=cn0, valid=valid)
@@ -381,6 +403,8 @@ class VTSolutions:
     sat_az_deg: np.ndarray
     cn0_dbhz: np.ndarray = None    # (T, N)
     valid: np.ndarray = None       # (T, N) channels in the EKF update
+    loop_bw_hz: np.ndarray = None  # (T, 2N) equivalent loop bandwidth
+                                   # (trackingVT_POS_updated_by_20210621.m:384)
 
 
 @dataclasses.dataclass
@@ -524,7 +548,8 @@ def run_vector_tracking(source: IFSampleSource, cfg: ReceiverConfig,
         kalman_gain=cat["kalman_gain"], innovation=cat["innovation"],
         r_diag=cat["r_diag"], sat_el_deg=np.rad2deg(cat["el"]),
         sat_az_deg=np.rad2deg(cat["az"]),
-        cn0_dbhz=cat["cn0"], valid=cat["valid"])
+        cn0_dbhz=cat["cn0"], valid=cat["valid"],
+        loop_bw_hz=cat["loop_bw_hz"])
     trk = VTTrackRecords(
         corr=cat["corr"], carr_err=cat["carr_err"], code_err=cat["code_err"],
         code_freq=cat["code_freq"], carr_freq=cat["carr_freq"],

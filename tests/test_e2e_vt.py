@@ -67,6 +67,26 @@ def test_vt_diagnostics_recorded(vt_result):
     assert sol.kalman_gain.shape == (T, 8, 2 * n_ch)
     assert sol.state_cov_diag.shape == (T, 8)
     assert np.all(sol.state_cov_diag > 0)
+    # equivalent loop bandwidth diag(H·K)/4/293/0.001 — the 2021 VT
+    # variant's diagnostic (trackingVT_POS_updated_by_20210621.m:384);
+    # steady-state VDLL bandwidths are positive and O(0.1-100) Hz
+    assert sol.loop_bw_hz.shape == (T, 2 * n_ch)
+    bw = sol.loop_bw_hz[500:]
+    assert np.all(np.isfinite(bw))
+    assert np.median(bw) > 0.0
+    assert np.all(np.abs(bw) < 1000.0)
+
+
+def test_vt_legacy_params():
+    """trackingVT_POS.m's noise model as a VTParams preset: fixed R
+    (adaptive machinery disabled), the 1e1-scaled process noise."""
+    from gps_sdr_tpu.receiver.vt import VTParams
+
+    p = VTParams.legacy()
+    assert (p.r_pr0, p.r_prr0) == (1e-1, 1e-2)
+    assert (p.q_pos, p.q_vel, p.q_clk, p.q_clkd) == (1.0, 0.1, 100.0, 10.0)
+    assert p.r_update_ms > 1_000_000  # never fires within a run
+    assert p.taps == (0.5, 0.0, -0.5)
 
 
 def test_vt_pallas_replica_converges():

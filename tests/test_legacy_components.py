@@ -1,0 +1,113 @@
+"""Legacy reference-variant components: relative pseudoranges
+(pr_est.m / pr_est_interp.m), the position-domain EKF positioning stage
+(trackingCT_POS.m), the legacy nav-decode behavior (naviDecode.m), the
+IGS TEC-grid iono alternate (igs_iono.m), and the 2021 VT variant's
+loop-bandwidth diagnostic (trackingVT_POS_updated_by_20210621.m:384)."""
+
+import numpy as np
+import pytest
+
+from gps_sdr_tpu.config import C_LIGHT
+from gps_sdr_tpu.geo.coords import llh2xyz
+from gps_sdr_tpu.pipeline import Receiver
+from gps_sdr_tpu.positioning.relpr import (
+    relative_pseudorange_from_transmit_time, relative_pseudorange_samples)
+
+from tests import scenario
+
+
+def test_relative_pseudorange_samples():
+    # two channels whose subframe starts differ by exactly 1 ms of
+    # samples → 1 light-ms pseudorange difference (pr_est.m:29-46)
+    fs = 5e6
+    pr, rel = relative_pseudorange_samples(
+        sfb1=[10, 10], nav1=[40, 40], code_delay=[1.0, 1.0 + fs * 1e-3],
+        fs=fs)
+    assert rel[0] == 0.0
+    assert abs(rel[1] - 1e-3) < 1e-12
+    assert abs(pr[0] - C_LIGHT * 75e-3) < 1e-6
+    assert abs((pr[1] - pr[0]) - C_LIGHT * 1e-3) < 1e-6
+
+
+def test_relative_pseudorange_transmit_time_matches_sample_form():
+    # the transmit-time form must agree with the sample form when the
+    # arrival offsets are expressed both ways
+    fs = 58e6
+    tt = np.array([388800.070, 388800.0655, 388800.0721])
+    pr_t, rel_t = relative_pseudorange_from_transmit_time(tt)
+    # arrival offsets in samples relative to the earliest channel
+    dat = (tt.max() - tt) * fs
+    pr_s, rel_s = relative_pseudorange_samples(
+        sfb1=np.zeros(3), nav1=np.zeros(3), code_delay=dat + 1.0, fs=fs)
+    np.testing.assert_allclose(pr_t, pr_s, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(rel_t, rel_s, rtol=0, atol=1e-12)
+
+
+def test_igs_tec_slant_delay():
+    from gps_sdr_tpu.geo.atmosphere import igs_tec_slant_delay
+
+    grid_e = [129.0, 112.0, 110.0, 123.0]   # igs_iono.m:10-13
+    grid_l = [114.0, 108.0, 107.0, 108.0]
+    t0, t1 = 396015.0, 396015.0 + 7200.0
+    # at the SW corner at the early epoch, zenith: pure vertical delay of
+    # the SW TECU value
+    d = float(igs_tec_slant_delay(t0, 22.5, 120.0, np.pi / 2,
+                                  grid_e, grid_l, t0, t1))
+    expect = 40.3 / 1575.42e6 ** 2 * 129.0 * 1e16
+    assert abs(d - expect) < 1e-9
+    # halfway in time, cell centre: mean of all 8 corner values
+    d_mid = float(igs_tec_slant_delay((t0 + t1) / 2, 22.5 + 1.25,
+                                      120.0 + 2.5, np.pi / 2,
+                                      grid_e, grid_l, t0, t1))
+    expect_mid = 40.3 / 1575.42e6 ** 2 * np.mean(grid_e + grid_l) * 1e16
+    assert abs(d_mid - expect_mid) < 1e-9
+    # slant > vertical, and monotone in elevation
+    d45 = float(igs_tec_slant_delay(t0, 22.5, 120.0, np.deg2rad(45.0),
+                                    grid_e, grid_l, t0, t1))
+    d20 = float(igs_tec_slant_delay(t0, 22.5, 120.0, np.deg2rad(20.0),
+                                    grid_e, grid_l, t0, t1))
+    assert d20 > d45 > d
+
+
+def test_navdecode_legacy_flags():
+    """naviDecode.m = the _updated variant minus startOffset and outlier
+    repair: on a clean stream both decode the same ephemeris; on a
+    stream with an isolated sign outlier inside a weak bit, only the
+    repaired variant recovers that bit."""
+    from gps_sdr_tpu.navdecode import decode_channel
+    from gps_sdr_tpu.io import lnav
+
+    bits = lnav.encode_frames(scenario.BASE_EPH, scenario.WEEK,
+                              scenario.TOW0 + 1.0, 7)
+    p_i = np.repeat(1.0 - 2.0 * np.asarray(bits, np.float64), 20) * 1000.0
+    legacy = decode_channel(p_i, start_offset_ms=0, repair_outliers=False)
+    modern = decode_channel(p_i, start_offset_ms=0, repair_outliers=True)
+    assert legacy.eph.updateflag == 1
+    assert modern.eph.updateflag == 1
+    assert legacy.eph.sqrta[0] == modern.eph.sqrta[0]
+
+
+@pytest.fixture(scope="module")
+def receiver():
+    src = scenario.build_scenario_source()
+    return Receiver(scenario.CFG, src, artifact_dir=scenario.CACHE_DIR)
+
+
+def test_legacy_kf_positioning(receiver):
+    """trackingCT_POS.m capability: the position-domain EKF over
+    relative pseudoranges converges onto the surveyed position despite
+    the ~1500 km common range offset the 75 ms base implies."""
+    receiver.track_for_eph(n_ms=scenario.DURATION_MS - 200)
+    receiver.decode(start_offset_ms=200)
+    truth = np.asarray(llh2xyz(np.asarray(scenario.TRUTH_LLH)))
+    init = truth + np.array([3000.0, -2000.0, 1500.0])
+    rec, nav = receiver.ct_position_kf(n_ms=4000, init_pos_ecef=init)
+    assert nav.usr_pos.shape[0] >= 50
+    err = np.linalg.norm(nav.usr_pos[20:] - truth, axis=1)
+    # the relative-pr EKF is the crudest estimator in the repo; bound it
+    # at the same order as WLS once the clock state has absorbed the
+    # common offset
+    assert np.median(err) < 60.0, f"median {np.median(err):.1f} m"
+    # the common offset must be in the clock state: 75 ms base minus the
+    # true travel time of the nearest SV, order 1000-2500 km
+    assert 1e5 < abs(nav.clk_bias_m[-1]) < 3e6
