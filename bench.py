@@ -367,7 +367,20 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--profile", default=None,
                     help="write a jax.profiler trace to this directory")
+    ap.add_argument("--full", action="store_true",
+                    help="also run the secondary suite (shift baseline, "
+                         "32-channel, 25-tap multicorrelator, segmented "
+                         "tracking, acquisition grid, CPU-mesh shard "
+                         "probe); default runs only the flagship tracking "
+                         "+ VT measurements so the whole bench fits the "
+                         "driver budget (round-2 lesson: the full suite "
+                         "grew past it and recorded nothing)")
+    ap.add_argument("--budget-s", type=float, default=420.0,
+                    help="soft wall budget for --full extras: each extra "
+                         "section is skipped once the elapsed wall time "
+                         "exceeds this")
     args = ap.parse_args()
+    t_start = time.perf_counter()
     _warm_backend()
 
     if args.profile:
@@ -379,19 +392,54 @@ def main():
     import jax
     on_tpu = jax.default_backend() == "tpu"
     flagship_replica = "pallas" if on_tpu else "shift"
+    detail = {"tracking_replica": flagship_replica}
     with prof:
+        # flagship first — the JSON line must survive later overruns
         trk_sps, trk_dt = bench_tracking(replica=flagship_replica)
-        shift_sps, _ = bench_tracking(replica="shift")
-        trk32_sps, _ = bench_tracking(n_ch=32, replica=flagship_replica)
-        mc_sps, _ = bench_tracking(n_steps=300, replica=flagship_replica,
-                                   multicorr=True)
-        vt_sps, _ = bench_vt(
-            replica=flagship_replica if flagship_replica == "pallas"
-            else "nco")
-        vt_nco_sps, _ = bench_vt(replica="nco")
-        seg_serial_sps, seg_sps = bench_segmented()
-        acq = bench_acquisition()
-    shard = bench_shard_overhead()
+        detail.update(
+            tracking_wall_s_1000ms_8ch=round(trk_dt, 4),
+            tracking_realtime_factor=round(trk_sps / 58e6, 3))
+        vt_sps, _ = bench_vt(replica="pallas" if on_tpu else "nco")
+        detail.update(vt_ekf_sps_per_chip=round(vt_sps, 0),
+                      vt_ekf_realtime_factor=round(vt_sps / 58e6, 2))
+
+        def left():
+            return args.budget_s - (time.perf_counter() - t_start)
+
+        if args.full:
+            extras = [
+                ("shift", lambda: {
+                    "tracking_shift_replica_sps":
+                        round(bench_tracking(replica="shift")[0], 0)}),
+                ("32ch", lambda: {
+                    "tracking_32ch_sps_per_ch_stream": round(
+                        bench_tracking(n_ch=32,
+                                       replica=flagship_replica)[0], 0)}),
+                ("multicorr", lambda: {
+                    "tracking_multicorr25_sps": round(bench_tracking(
+                        n_steps=300, replica=flagship_replica,
+                        multicorr=True)[0], 0)}),
+                ("vt_nco", lambda: {
+                    "vt_nco_replica_sps": round(bench_vt(
+                        replica="nco")[0], 0)}),
+                ("segmented", lambda: (lambda s, g: {
+                    "segmented_small_shape_serial_sps": round(s, 0),
+                    "segmented_small_shape_8seg_sps": round(g, 0),
+                    "segmented_small_shape_speedup": round(g / s, 2)})(
+                    *bench_segmented())),
+                ("acquisition", bench_acquisition),
+            ]
+            for name, fn in extras:
+                if left() <= 0:
+                    detail[f"skipped_{name}"] = "budget exhausted"
+                    continue
+                try:
+                    detail.update(fn())
+                except Exception as e:
+                    detail[f"error_{name}"] = str(e)[:200]
+    if args.full and left() > 0:
+        detail["acq_shard_overhead_cpu_mesh"] = bench_shard_overhead(
+            timeout_s=max(30, int(left())))
 
     print(json.dumps({
         "metric": "tracking IF samples/s/chip (8-channel E/P/L engine, "
@@ -399,26 +447,7 @@ def main():
         "value": round(trk_sps, 1),
         "unit": "samples/s/chip",
         "vs_baseline": round(trk_sps / 58e6, 3),
-        "detail": {
-            "tracking_replica": flagship_replica,
-            "tracking_wall_s_1000ms_8ch": round(trk_dt, 4),
-            "tracking_realtime_factor": round(trk_sps / 58e6, 3),
-            "tracking_shift_replica_sps": round(shift_sps, 0),
-            "tracking_pallas_speedup_vs_shift": round(trk_sps / shift_sps,
-                                                      2),
-            "tracking_32ch_sps_per_ch_stream": round(trk32_sps, 0),
-            "tracking_32ch_aggregate_ch_sps": round(32 * trk32_sps, 0),
-            "tracking_multicorr25_sps": round(mc_sps, 0),
-            "vt_ekf_sps_per_chip": round(vt_sps, 0),
-            "vt_ekf_realtime_factor": round(vt_sps / 58e6, 2),
-            "vt_nco_replica_sps": round(vt_nco_sps, 0),
-            "segmented_small_shape_serial_sps": round(seg_serial_sps, 0),
-            "segmented_small_shape_8seg_sps": round(seg_sps, 0),
-            "segmented_small_shape_speedup": round(seg_sps
-                                                   / seg_serial_sps, 2),
-            **acq,
-            "acq_shard_overhead_cpu_mesh": shard,
-        },
+        "detail": detail,
     }))
 
 
