@@ -64,48 +64,15 @@ class NavSolutions:
 
 
 def cn0_series(records: TrackRecords, pdi: np.ndarray, k: int = 20):
-    """Per-row (cn0_dbhz, gate_snr_db) from the prompt correlator powers.
+    """Per-row (cn0_dbhz, gate_snr_db) from the prompt correlator powers
+    — thin adapter over the single implementation in
+    :func:`gps_sdr_tpu.utils.metrics.cn0_series` (gated mode), with the
+    pdi²-normalization that keeps windows straddling the reference's
+    per-channel 1 ms → 10 ms switch from spuriously tripping the gate."""
+    from gps_sdr_tpu.utils.metrics import cn0_series as _cn0
 
-    Disjoint K=20-block Zk windows exactly as the reference computes
-    CN0_CT (trackingCT_POS_updated.m:237-250, trackingCT.m:120-134);
-    window w's estimate applies from window w+1's rows on (no lookahead
-    — the first window gates itself, a warmup concession).  `pdi`
-    (T, N) scales the coherent time per row of the C/N0.
-
-    The gate series is the post-correlation SNR 10·log10(NA²/2σ²_IQ)
-    (C/N0 without the 1/T term), MIN over the last 3 completed windows:
-    one noise window drops a channel immediately, recovery needs 3
-    clean windows, and noise flicker above threshold (p99 ≈ 6 dB at
-    K=20) is cubed away.
-    """
-    from gps_sdr_tpu.ops.loops import cn0_moment_estimator
-
-    pp = (records.p_i.astype(np.float64) ** 2
-          + records.p_q.astype(np.float64) ** 2)        # (T, N)
-    t_len, n_ch = pp.shape
-    n_win = t_len // k
-    cn0 = np.full((t_len, n_ch), np.inf)
-    gate = np.full((t_len, n_ch), np.inf)
-    if n_win == 0:
-        return cn0, gate
-    zk = pp[:n_win * k].reshape(n_win, k, n_ch)
-    t_coh = pdi[k - 1::k][:n_win] * 1e-3                # (n_win, N)
-    snr = np.asarray(cn0_moment_estimator(
-        np.moveaxis(zk, 1, 2), 1.0, signed=True))       # (n_win, N)
-    est = snr - 10.0 * np.log10(t_coh)                  # C/N0 [dB-Hz]
-    snr3 = np.minimum(snr, np.minimum(
-        np.roll(snr, 1, axis=0), np.roll(snr, 2, axis=0)))
-    snr3[0] = snr[0]
-    snr3[1] = np.minimum(snr[0], snr[1])
-    cn0[:k] = est[0]
-    gate[:k] = snr3[0]
-    for w in range(n_win):
-        lo, hi = (w + 1) * k, min((w + 2) * k, t_len)
-        if lo >= t_len:
-            break
-        cn0[lo:hi] = est[w]
-        gate[lo:hi] = snr3[w]
-    return cn0, gate
+    return _cn0(records.p_i, records.p_q, t_coh_s=pdi * 1e-3, window=k,
+                gated=True)
 
 
 def first_subframe_sample(records: TrackRecords, ch: int, nav1_ms: int,

@@ -13,15 +13,64 @@ import numpy as np
 from gps_sdr_tpu.ops.loops import cn0_moment_estimator
 
 
-def cn0_series(p_i: np.ndarray, p_q: np.ndarray, t_coh_s: float,
-               window: int = 20) -> np.ndarray:
-    """(W, N) C/N0 estimates from (T, N) prompt records, one per
-    `window` blocks (K=20 in the reference)."""
-    T = p_i.shape[0]
-    W = T // window
-    zk = (p_i[:W * window] ** 2 + p_q[:W * window] ** 2)
-    zk = zk.reshape(W, window, -1).transpose(0, 2, 1)  # (W, N, window)
-    return np.asarray(cn0_moment_estimator(zk, t_coh_s))
+def cn0_series(p_i: np.ndarray, p_q: np.ndarray, t_coh_s=1e-3,
+               window: int = 20, gated: bool = False):
+    """C/N0 from (T, N) prompt records via the moment-method estimator
+    over disjoint K=`window` blocks (trackingCT.m:120-134,
+    trackingCT_POS_updated.m:237-250) — the single implementation behind
+    both the plain per-window series and the per-row validity gate.
+
+    `t_coh_s` is the coherent integration time: a scalar, or a (T, N)
+    per-row array when channels switch pdi mid-record (the reference's
+    1 ms → 10 ms switch).  Prompt powers scale with t_coh² (P ∝ pdi·S),
+    so the powers are normalized by t_coh² before windowing: the
+    moment-method SNR is invariant to uniform scaling, which leaves
+    homogeneous windows unchanged while removing the ~100× power step
+    inside a window that straddles a pdi switch (an unnormalized mixed
+    window drives 2·M2²−M4 negative and the SNR to ≈−220 dB, spuriously
+    tripping the gate — the round-2 pdi-switch epoch spike).
+
+    gated=False → (W, N) per-window C/N0 (the reference's |·| quirk).
+    gated=True  → per-row (cn0_dbhz (T,N), gate_snr_db (T,N)): window
+    w's estimate applies from window w+1's rows on (no lookahead — the
+    first window gates itself, a warmup concession).  The gate series is
+    the post-correlation SNR 10·log10(NA²/2σ²_IQ) (C/N0 without the 1/T
+    term), MIN over the last 3 completed windows: one noise window drops
+    a channel immediately, recovery needs 3 clean windows, and noise
+    flicker above threshold (p99 ≈ 6 dB at K=20) is cubed away.
+    """
+    pp = p_i.astype(np.float64) ** 2 + p_q.astype(np.float64) ** 2
+    t_len, n_ch = pp.shape
+    k = window
+    n_win = t_len // k
+    tc = np.broadcast_to(np.asarray(t_coh_s, np.float64), pp.shape)
+    pp = pp / (tc * tc)                       # scale-invariant normalization
+    zk = pp[:n_win * k].reshape(n_win, k, n_ch)
+    snr = np.asarray(cn0_moment_estimator(
+        np.moveaxis(zk, 1, 2), 1.0, signed=True))       # (n_win, N)
+    # C/N0 = post-correlation SNR − 10·log10(T_coh at the window end)
+    est = snr - 10.0 * np.log10(tc[k - 1::k][:n_win])
+    if not gated:
+        # the reference's |·| quirk applies to the full expression
+        # (trackingCT.m:133); the gate must see the signed value instead
+        return np.abs(est)
+    cn0 = np.full((t_len, n_ch), np.inf)
+    gate = np.full((t_len, n_ch), np.inf)
+    if n_win == 0:
+        return cn0, gate
+    snr3 = np.minimum(snr, np.minimum(
+        np.roll(snr, 1, axis=0), np.roll(snr, 2, axis=0)))
+    snr3[0] = snr[0]
+    snr3[1] = np.minimum(snr[0], snr[1])
+    cn0[:k] = est[0]
+    gate[:k] = snr3[0]
+    for w in range(n_win):
+        lo, hi = (w + 1) * k, min((w + 2) * k, t_len)
+        if lo >= t_len:
+            break
+        cn0[lo:hi] = est[w]
+        gate[lo:hi] = snr3[w]
+    return cn0, gate
 
 
 def export_ephemeris_table(eph: dict, path: str, prns=None) -> str:
