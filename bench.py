@@ -215,7 +215,7 @@ def bench_vt(n_ch: int = 8, n_steps: int = 1000, reps: int = 3,
         innov_sq_sum=jnp.zeros(n2, jnp.float64),
         step_count=jnp.asarray(0, jnp.int32),
         zk=jnp.zeros((n_ch, params.cn0_window), jnp.float64),
-        snr_hist=jnp.full((n_ch, 3), 99.0, jnp.float64),
+        snr_hist=jnp.full((n_ch, 5), 99.0, jnp.float64),
         cn0=jnp.full(n_ch, 99.0, jnp.float64),
         valid=jnp.ones(n_ch, bool))
     margin = 0

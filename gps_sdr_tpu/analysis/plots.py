@@ -143,8 +143,110 @@ def plot_vt_solution(sol, truth_ecef: np.ndarray, out_path: str) -> None:
     plt.close(fig)
 
 
+def plot_channel_dashboard(records, prns: Sequence[int], out_path: str,
+                           code_freq_basis: float = 1.023e6,
+                           max_ms: Optional[int] = None) -> None:
+    """Per-SV tracking dashboard — the TrackingPlot3.m (171-line) panel
+    set: IQ constellation, prompt I/Q series, raw + filtered DLL
+    discriminator, raw + filtered PLL discriminator, code frequency and
+    code delay.  One figure row of 8 panels per SV.
+
+    The reference plots the NCO inputs/outputs it kept in TckResult
+    (TrackingPlot3.m:20-160); the equivalents here are code_err /
+    carr_err (raw discriminators), code_freq − basis and
+    carr_freq − carr_freq[0] (filtered loop outputs), and the per-block
+    sample residue num_sample − round(mean) (the delayValue series,
+    trackingCT_POS_updated.m:191)."""
+    plt = _plt()
+    n = len(prns)
+    fig, axes = plt.subplots(n, 8, figsize=(30, 2.8 * n), squeeze=False)
+    t_end = max_ms or records.p_i.shape[0]
+    for ch, prn in enumerate(prns):
+        pi = records.p_i[:t_end, ch]
+        pq = records.p_q[:t_end, ch]
+        ax = axes[ch]
+        ax[0].plot(pi, pq, ".", ms=1)
+        ax[0].set_ylabel(f"PRN {prn}")
+        ax[0].set_title("IQ constellation" if ch == 0 else "")
+        ax[1].plot(pi, lw=0.4)
+        ax[1].plot(pq, lw=0.4, alpha=0.6)
+        ax[1].set_title("prompt I (blue) / Q" if ch == 0 else "")
+        ax[2].plot(records.code_err[:t_end, ch], lw=0.4)
+        ax[2].set_title("raw DLL disc [chip]" if ch == 0 else "")
+        ax[3].plot(records.code_freq[:t_end, ch] - code_freq_basis, lw=0.6)
+        ax[3].set_title("filtered DLL (codeFreq−f0) [Hz]"
+                        if ch == 0 else "")
+        ax[4].plot(records.carr_err[:t_end, ch], lw=0.4)
+        ax[4].set_title("raw PLL disc [cyc]" if ch == 0 else "")
+        ax[5].plot(records.carr_freq[:t_end, ch]
+                   - records.carr_freq[0, ch], lw=0.6)
+        ax[5].set_title("filtered PLL (carrFreq−f̂0) [Hz]"
+                        if ch == 0 else "")
+        ax[6].plot(records.code_freq[:t_end, ch], lw=0.6)
+        ax[6].set_title("code frequency [Hz]" if ch == 0 else "")
+        ns = records.num_sample[:t_end, ch]
+        ax[7].plot(ns - np.round(ns.mean()), lw=0.6)
+        ax[7].set_title("block-length residue [smp]" if ch == 0 else "")
+    fig.suptitle("Per-SV tracking dashboards (TrackingPlot3 panel set)")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=100)
+    plt.close(fig)
+
+
+def plot_vt_channels(trk, sol, prns: Sequence[int], truth_ecef: np.ndarray,
+                     out_path: str) -> None:
+    """TrackingPlot_vt.m equivalent: per-channel vector-tracking panels
+    (prompt IQ, code-discriminator → EKF measurement, nav-driven code
+    frequency, ΔPr rate) combined with the navigation-solution panels
+    (ENU trajectory + components, clock bias/drift) the reference stacks
+    below them (TrackingPlot_vt.m:1-234)."""
+    from gps_sdr_tpu.geo.coords import xyz2enu
+
+    plt = _plt()
+    n = len(prns)
+    fig, axes = plt.subplots(n + 2, 4, figsize=(18, 2.6 * (n + 2)),
+                             squeeze=False)
+    t = trk.code_err.shape[0]
+    pi = trk.corr[:, :, trk.corr.shape[2] // 2, 0]
+    pq = trk.corr[:, :, trk.corr.shape[2] // 2, 1]
+    for ch, prn in enumerate(prns):
+        ax = axes[ch]
+        ax[0].plot(pi[:, ch], pq[:, ch], ".", ms=1)
+        ax[0].set_ylabel(f"PRN {prn}")
+        ax[0].set_title("IQ" if ch == 0 else "")
+        ax[1].plot(trk.code_err[:, ch], lw=0.4)
+        ax[1].set_title("code disc → Z_pr [chip]" if ch == 0 else "")
+        ax[2].plot(trk.code_freq[:, ch], lw=0.5)
+        ax[2].set_title("nav-driven codeFreq [Hz]" if ch == 0 else "")
+        ax[3].plot(trk.delta_pr[:, ch], lw=0.5)
+        ax[3].set_title("ΔPr rate [m/s]" if ch == 0 else "")
+    enu = np.asarray(xyz2enu(sol.usr_pos, truth_ecef))
+    axn = axes[n]
+    axn[0].plot(enu[:, 0], enu[:, 1], lw=0.5)
+    axn[0].plot([0], [0], "r*", ms=10)
+    axn[0].set_title("EKF horizontal ENU [m]")
+    for i, lab in enumerate("ENU"):
+        axn[1].plot(enu[:, i], lw=0.5, label=lab)
+    axn[1].legend(); axn[1].set_title("ENU components [m]")
+    axn[2].plot(sol.clk_bias_m, lw=0.6); axn[2].set_title("clock bias [m]")
+    axn[3].plot(sol.clk_drift_ms, lw=0.6)
+    axn[3].set_title("clock drift [m/s]")
+    axv = axes[n + 1]
+    axv[0].plot(sol.usr_vel, lw=0.5); axv[0].set_title("velocity ECEF [m/s]")
+    axv[1].plot(np.linalg.norm(enu, axis=1), lw=0.5)
+    axv[1].set_title("3D error [m]")
+    axv[2].plot(sol.cn0_dbhz, lw=0.5); axv[2].set_title("C/N0 [dB-Hz]")
+    axv[3].plot(sol.r_diag, lw=0.4); axv[3].set_title("adaptive R diag")
+    fig.suptitle("Vector tracking channels + navigation solution "
+                 "(TrackingPlot_vt panel set)")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=100)
+    plt.close(fig)
+
+
 def save_all(acq=None, records=None, prns=None, eph=None, nav=None,
-             vt_sol=None, truth_ecef=None, out_dir: str = "results") -> None:
+             vt_sol=None, truth_ecef=None, out_dir: str = "results",
+             vt_trk=None) -> None:
     os.makedirs(out_dir, exist_ok=True)
     if acq is not None:
         plot_acquisition(acq, os.path.join(out_dir, "task1_acquisition.png"))
@@ -156,3 +258,10 @@ def save_all(acq=None, records=None, prns=None, eph=None, nav=None,
         plot_wls_solution(nav, truth_ecef, os.path.join(out_dir, "task4_wls.png"))
     if vt_sol is not None and truth_ecef is not None:
         plot_vt_solution(vt_sol, truth_ecef, os.path.join(out_dir, "task5_ekf.png"))
+    if records is not None and prns is not None:
+        plot_channel_dashboard(
+            records, prns, os.path.join(out_dir, "channels_dashboard.png"))
+    if (vt_trk is not None and vt_sol is not None and prns is not None
+            and truth_ecef is not None):
+        plot_vt_channels(vt_trk, vt_sol, prns, truth_ecef,
+                         os.path.join(out_dir, "vt_channels.png"))

@@ -127,12 +127,14 @@ class SolutionConfig:
     # Measurement-validity gate: channels drop out of the WLS/EKF epochs
     # when their post-correlation SNR — 10·log10(NA²/2σ²_IQ) from the
     # moment-method window (trackingCT.m:120-134), i.e. C/N0 without the
-    # 1/T term — stays below this over the last 3 windows (min-of-3:
-    # one bad window invalidates, recovery needs 3 clean ones).  Pure
-    # noise measures ≤ ~6 dB at K=20; locked channels ≥ ~10 dB.
+    # 1/T term — averaged over the last 5 K=20 windows falls below this.
+    # Pure noise averages −2.7 ± 1.1 dB over 5 windows; a locked
+    # 31 dB-Hz channel at 1 ms pdi (the reference Opensky capture's
+    # weakest) averages +4.4 ± 1.1 — the +1 dB threshold splits them at
+    # ~0.1% error either side (utils/metrics.cn0_series gate note).
     # 0 disables masking (the reference's behavior — it computes C/N0
     # but never gates on it; SURVEY.md §5 failure-handling).
-    mask_snr_db: float = 6.0
+    mask_snr_db: float = 1.0
     # Surveyed ground-truth antenna LLH (rad, rad, m) (initParameters.m:23)
     truth_llh: Tuple[float, float, float] = (
         22.328444770087565 / 180.0 * math.pi,

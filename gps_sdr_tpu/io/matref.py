@@ -1,0 +1,202 @@
+"""Adapters for the reference's shipped golden `.mat` artifacts.
+
+The reference repository ships every stage's output as MATLAB save files
+(SURVEY.md §4: `tckRstCT_10ms_Opensky.mat`, `navSolCT_10ms_Opensky.mat`,
+`eph_*_90.mat`, `sbf_*_90.mat`, `nAcquired_*_5000.mat`, `countinx.mat`).
+These loaders map them onto this package's native structures so the WLS
+positioning stage can be replayed from the reference's own tracked
+records and compared epoch-by-epoch against its shipped navigation
+solutions — real-data parity with no raw IF capture required.
+
+Unit conventions (trackingCT_POS_updated.m):
+- `absoluteSample` is an `ftell` BYTE offset (…:286); native records use
+  sample indices, so the loader divides by dataType·dataPrecision
+  (2 bytes/complex-int8-sample for the Opensky front end,
+  initParameters.m:37-38).
+- per-channel coherent length is not stored; it is recovered from
+  `numSample` (≈ S → pdi 1 ms, ≈ 10·S → pdi 10 ms; …:183,294).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Sequence, Tuple
+
+import numpy as np
+
+from gps_sdr_tpu.navdecode import EphemerisRecord
+from gps_sdr_tpu.tracking import TrackRecords
+
+# eph_*.mat field name → EphemerisRecord attribute (ini_eph.m:19-55;
+# NB the reference names Ω₀ "omegae" and URA "N")
+_EPH_FIELD_MAP = {
+    "TOW": "tow", "TOW1": "tow1", "sfb": "sfb", "sfb1": "sfb1",
+    "weeknum": "weeknum", "N": "ura", "health": "health", "IODC": "iodc",
+    "TGD": "tgd", "toc": "toc", "af2": "af2", "af1": "af1", "af0": "af0",
+    "IODE2": "iode2", "Crs": "crs", "deltan": "deltan", "M0": "m0",
+    "Cuc": "cuc", "ecc": "ecc", "Cus": "cus", "sqrta": "sqrta",
+    "toe": "toe", "Cic": "cic", "omegae": "omega0", "Cis": "cis",
+    "i0": "i0", "Crc": "crc", "w": "w", "omegadot": "omegadot",
+    "IODE3": "iode3", "idot": "idot", "updatetime": "updatetime_ms",
+    "updatetime_tow": "updatetime_tow",
+}
+
+
+def _cell(v) -> np.ndarray:
+    """Flatten a loadmat cell/matrix field to a 1-D array (unwrapping
+    the 0-d object scalars squeeze_me leaves around struct fields)."""
+    v = np.asarray(v)
+    while v.dtype == object and v.ndim == 0:
+        v = np.asarray(v[()])
+    return np.atleast_1d(v.squeeze())
+
+
+def load_tck_records(path: str, prns: Sequence[int],
+                     bytes_per_sample: int = 2
+                     ) -> Tuple[TrackRecords, np.ndarray]:
+    """`tckRstCT_*` → (TrackRecords, pdi_ms (T, N)).
+
+    `prns` selects and orders the channels (the .mat struct is indexed
+    by PRN, 1-based).  Correlator taps are ordered E/P/L to match
+    TrackParams.pos_epl record conventions.
+    """
+    import scipy.io as sio
+
+    m = sio.loadmat(path, squeeze_me=True)
+    key = next(k for k in m if k.startswith("TckResult"))
+    t = m[key]
+    fields = ("E_i", "E_q", "P_i", "P_q", "L_i", "L_q", "carrError",
+              "codeError", "codeFreq", "carrFreq", "numSample", "remChip",
+              "remCarrPhase", "absoluteSample")
+    per = {f: np.stack([np.asarray(t[p - 1][f], np.float64)
+                        for p in prns], axis=1) for f in fields}
+    T, N = per["P_i"].shape
+    corr = np.stack([
+        np.stack([per["E_i"], per["E_q"]], axis=-1),
+        np.stack([per["P_i"], per["P_q"]], axis=-1),
+        np.stack([per["L_i"], per["L_q"]], axis=-1)], axis=2)  # (T,N,3,2)
+    rec = TrackRecords(
+        corr=corr.astype(np.float32),
+        code_err=per["codeError"], carr_err=per["carrError"],
+        code_freq=per["codeFreq"], carr_freq=per["carrFreq"],
+        num_sample=per["numSample"].astype(np.int64),
+        rem_chip=per["remChip"], rem_phase=per["remCarrPhase"],
+        absolute_sample=per["absoluteSample"] / bytes_per_sample,
+        i_early=0, i_prompt=1, i_late=2)
+    # recover per-row coherent length from the block sizes
+    s_per_ms = np.round(per["numSample"][0].mean() /
+                        np.round(per["numSample"][0].mean() / 58000.0))
+    pdi = np.clip(np.round(per["numSample"] / s_per_ms), 1, None
+                  ).astype(np.int64)
+    return rec, pdi
+
+
+def load_eph(path: str) -> Dict[int, EphemerisRecord]:
+    """`eph_*_90.mat` → {prn: EphemerisRecord} (SI-scaled, as the
+    reference decodes them)."""
+    import scipy.io as sio
+
+    m = sio.loadmat(path, squeeze_me=True)
+    eph_arr = m["eph"]
+    out: Dict[int, EphemerisRecord] = {}
+    for i in range(eph_arr.shape[0] if eph_arr.ndim else len(eph_arr)):
+        row = eph_arr[i]
+        rec = EphemerisRecord()
+        for mat_name, attr in _EPH_FIELD_MAP.items():
+            vals = _cell(row[mat_name])
+            setattr(rec, attr, [float(v) for v in vals])
+        flag = _cell(row["updateflag"])
+        rec.updateflag = int(flag[0]) if flag.size else 0
+        if len(rec.tow) or rec.updateflag:
+            out[i + 1] = rec
+    return out
+
+
+def load_sbf(path: str) -> Dict[str, Dict[int, int]]:
+    """`sbf_*_90.mat` → {"nav1": {prn: ms}, "sfb1": {prn: count}}
+    (1-based conventions preserved, SURVEY.md §4)."""
+    import scipy.io as sio
+
+    m = sio.loadmat(path, squeeze_me=True)
+    sbf = m["sbf"]
+    nav1 = _cell(sbf["nav1"])
+    sfb1 = _cell(sbf["sfb1"])
+    return {"nav1": {p + 1: int(v) for p, v in enumerate(nav1)},
+            "sfb1": {p + 1: int(v) for p, v in enumerate(sfb1)}}
+
+
+def load_nacquired(path: str):
+    """`nAcquired_*.mat` → dict of arrays {sv, snr_db, doppler_hz,
+    code_delay, fine_freq_hz}."""
+    import scipy.io as sio
+
+    m = sio.loadmat(path, squeeze_me=True)
+    na = m["nAcquired"]
+    return dict(sv=_cell(na["sv"]).astype(int),
+                snr_db=_cell(na["SNR"]).astype(float),
+                doppler_hz=_cell(na["Doppler"]).astype(float),
+                code_delay=_cell(na["codedelay"]).astype(int),
+                fine_freq_hz=_cell(na["fineFreq"]).astype(float))
+
+
+@dataclasses.dataclass
+class RefNavSolutions:
+    """navSolCT_* fields, epochs × channels."""
+
+    raw_pseudorange: np.ndarray
+    usr_pos: np.ndarray
+    usr_vel: np.ndarray
+    usr_pos_enu: np.ndarray
+    usr_pos_llh: np.ndarray
+    clk_bias_m: np.ndarray
+    usr_vel_enu: np.ndarray
+    clk_drift_ms: np.ndarray
+    dop: np.ndarray
+    sat_el_deg: np.ndarray
+    sat_az_deg: np.ndarray
+    transmit_time: np.ndarray
+    code_phase_meas: np.ndarray
+    local_time: np.ndarray
+
+
+def load_navsol(path: str) -> RefNavSolutions:
+    import scipy.io as sio
+
+    m = sio.loadmat(path, squeeze_me=True)
+    key = next(k for k in m if k.startswith("navSolutions"))
+    n = m[key]
+    g = {f: np.asarray(n[f][()]) for f in n.dtype.names}
+    return RefNavSolutions(
+        raw_pseudorange=g["rawPseudorange"], usr_pos=g["usrPos"],
+        usr_vel=g["usrVel"], usr_pos_enu=g["usrPosENU"],
+        usr_pos_llh=g["usrPosLLH"], clk_bias_m=g["clkBias"],
+        usr_vel_enu=g["usrVelENU"], clk_drift_ms=g["clkDrift"],
+        dop=g["DOP"], sat_el_deg=g["satEA"], sat_az_deg=g["satAZ"],
+        transmit_time=g["timeTransmit"], code_phase_meas=g["codePhaseMeas"],
+        local_time=g["localTime"])
+
+
+def reconstruct_meas_start(rec: TrackRecords, pdi: np.ndarray,
+                           nav: RefNavSolutions, tow1: np.ndarray,
+                           nav1: np.ndarray, sfb1: np.ndarray,
+                           fs: float, code_length: int = 1023
+                           ) -> np.ndarray:
+    """Per-channel reconstruction of the reference's first measurement
+    sample from epoch 0 of its own navigation solution — inverts the
+    codePhaseMeas interpolation (trackingCT_POS_updated.m:448-457).
+    All channels must agree to a fraction of a sample; the spread is the
+    caller's consistency check that the record adaptation is exact."""
+    n_ch = rec.absolute_sample.shape[1]
+    ms_elapsed = np.cumsum(pdi, axis=0)
+    cur = np.empty(n_ch)
+    for ch in range(n_ch):
+        cpm = nav.code_phase_meas[0, ch]
+        tt = nav.transmit_time[0, ch]
+        anchor = nav1[ch] + sfb1[ch] * 20
+        target_ms = int(round((tt - tow1[ch]) * 1000.0
+                              - cpm / code_length + anchor))
+        idx = int(np.searchsorted(ms_elapsed[:, ch], target_ms))
+        step = rec.code_freq[idx, ch] / fs
+        cur[ch] = (rec.absolute_sample[idx, ch]
+                   + (cpm - rec.rem_chip[idx, ch]) / step)
+    return cur

@@ -56,10 +56,25 @@ class Receiver:
     """
 
     def __init__(self, cfg: ReceiverConfig, source: IFSampleSource,
-                 artifact_dir: Optional[str] = None):
+                 artifact_dir: Optional[str] = None, mesh="auto"):
+        """`mesh` enables multi-device execution (SURVEY.md §2.9):
+        "auto" (default) builds a 1-D mesh over all devices when more
+        than one is visible, None forces single-device, or pass a
+        jax.sharding.Mesh.  With a mesh: the acquisition grid is
+        sharded over PRNs, tracking shards the channel axis
+        (bit-identical records at any device count), and every WLS
+        epoch reduces its normal equations with psum
+        (parallel/{acquisition,tracking,epoch}.py).  The VT stage stays
+        single-device — its EKF couples all channels every ms."""
+        import jax
+
         self.cfg = cfg
         self.source = source
         self.dir = artifact_dir
+        if mesh == "auto":
+            from gps_sdr_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh() if len(jax.devices()) > 1 else None
+        self.mesh = mesh
         if artifact_dir:
             os.makedirs(artifact_dir, exist_ok=True)
         self._acq: Optional[AcquisitionResult] = None
@@ -96,6 +111,13 @@ class Receiver:
         """Stage 1 (SDR_main.m:22): FFT parallel code-phase search."""
         if self._acq is not None:
             return self._acq
+        if power_fn is None and self.mesh is not None:
+            from gps_sdr_tpu.acquisition import _use_pow2
+            from gps_sdr_tpu.parallel.acquisition import (
+                sharded_acquisition_power, sharded_acquisition_power_real)
+            power_fn = (sharded_acquisition_power_real(self.mesh)
+                        if _use_pow2("auto")
+                        else sharded_acquisition_power(self.mesh))
         stem = f"acquired_{self.cfg.file.name}_{self.cfg.file.skip_ms}.npz"
         if self._have(stem):
             z = np.load(self._path(stem))
@@ -142,7 +164,8 @@ class Receiver:
             state = init_track_state(self.cfg, acq.code_delay,
                                      acq.fine_freq_hz)
             rec, _ = run_tracking(self.source, self.cfg, list(acq.sv),
-                                  state, params, n_ms, chunk_ms=chunk_ms)
+                                  state, params, n_ms, chunk_ms=chunk_ms,
+                                  mesh=self.mesh)
         self._eph_records = rec
         if self.dir:
             self._save_records(self._path(stem), rec)
@@ -179,7 +202,7 @@ class Receiver:
         # (a) batched 1 ms tracking → countinx per channel
         st = init_track_state(cfg, acq.code_delay, acq.fine_freq_hz)
         rec_a, _ = run_tracking(self.source, cfg, prns, st, params1, n1,
-                                chunk_ms=chunk_ms)
+                                chunk_ms=chunk_ms, mesh=self.mesh)
         cnt = np.array([detect_bit_transition(
             rec_a.p_i[:, ch], min_index=min_transition_index)
             for ch in range(n_ch)])
@@ -188,7 +211,8 @@ class Receiver:
         # (b) batched re-track to the latest switch point
         st = init_track_state(cfg, acq.code_delay, acq.fine_freq_hz)
         rec_b, _ = run_tracking(self.source, cfg, prns, st, params1,
-                                n1 + cnt_max, chunk_ms=chunk_ms)
+                                n1 + cnt_max, chunk_ms=chunk_ms,
+                                mesh=self.mesh)
 
         # (c) batched 10 ms blocks, negated, from per-channel re-based
         # pointers; loop state resumed at each channel's switch row
@@ -203,7 +227,7 @@ class Receiver:
         rec_c, _ = run_tracking(
             self.source, cfg, prns, st_c,
             TrackParams.epl(cfg, pdi_ms=10, negate_iq=True),
-            n10, chunk_ms=chunk_ms)
+            n10, chunk_ms=chunk_ms, mesh=self.mesh)
 
         # merge: per channel, its own (b) prefix + ×10-replicated (c)
         # rows, edge-padded to the common length
@@ -341,7 +365,8 @@ class Receiver:
         params1 = mk(cfg)
         if pdi_switch_ms is None:
             rec, _ = run_tracking(self.source, cfg, pos_svs, state,
-                                  params1, n_ms, chunk_ms=chunk_ms)
+                                  params1, n_ms, chunk_ms=chunk_ms,
+                                  mesh=self.mesh)
             pdi_rows: np.ndarray | int = 1
         else:
             from gps_sdr_tpu.tracking import state_from_records
@@ -353,14 +378,16 @@ class Receiver:
                 raise ValueError(f"n_ms={n_ms} rows must exceed the last "
                                  f"pdi switch at row {sw_max}")
             rec1, _ = run_tracking(self.source, cfg, pos_svs, state,
-                                   params1, sw_max, chunk_ms=chunk_ms)
+                                   params1, sw_max, chunk_ms=chunk_ms,
+                                   mesh=self.mesh)
             st2 = state_from_records(rec1, sw - 1,
                                      acq.fine_freq_hz[chans],
                                      params1.dll_freq_sign,
                                      cfg.signal.code_freq_basis)
             rec2, _ = run_tracking(self.source, cfg, pos_svs, st2,
                                    mk(cfg, pdi_ms=10),
-                                   (n_ms - sw_min) * 10, chunk_ms=chunk_ms)
+                                   (n_ms - sw_min) * 10, chunk_ms=chunk_ms,
+                                   mesh=self.mesh)
             merged = []
             n_ch = len(pos_svs)
             for f in _REC_FIELDS:
@@ -375,7 +402,8 @@ class Receiver:
             pdi_rows = np.where(rows < sw[None, :], 1, 10)
         nav = run_ct_positioning(rec, cfg, pos_svs, eph, sbf,
                                  init_pos_ecef,
-                                 pdi_ms_per_block=pdi_rows)
+                                 pdi_ms_per_block=pdi_rows,
+                                 mesh=self.mesh)
         if self.dir:
             self._save_records(self._path(stem_t), rec)
             with open(self._path(stem_n), "wb") as f:
@@ -413,7 +441,7 @@ class Receiver:
                                  acq.fine_freq_hz[chans])
         rec, _ = run_tracking(self.source, cfg, pos_svs, state,
                               TrackParams.pos_epl(cfg), n_ms,
-                              chunk_ms=chunk_ms)
+                              chunk_ms=chunk_ms, mesh=self.mesh)
         nav = run_ct_positioning_kf(rec, cfg, pos_svs, eph, sbf,
                                     init_pos_ecef, epoch_ms=epoch_ms)
         if self.dir:
@@ -524,11 +552,11 @@ class Receiver:
         pos_svs = self.usable_svs()
         truth = np.asarray(llh2xyz(np.asarray(self.cfg.solu.truth_llh)))
         rec, nav = self.ct_position(**(ct_kw or {}))
-        vt_sol = None
+        vt_sol = vt_trk = None
         if vt:
-            _, vt_sol = self.vt_position(**(vt_kw or {}))
+            vt_trk, vt_sol = self.vt_position(**(vt_kw or {}))
         plots.save_all(acq=acq, records=rec, prns=pos_svs, eph=eph,
                        nav=nav, vt_sol=vt_sol, truth_ecef=truth,
-                       out_dir=out_dir)
+                       out_dir=out_dir, vt_trk=vt_trk)
         export_ephemeris_table(
             eph, os.path.join(out_dir, "task3_ephemeris.csv"), pos_svs)

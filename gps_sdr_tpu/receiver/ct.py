@@ -88,7 +88,11 @@ def run_ct_positioning(records: TrackRecords, cfg: ReceiverConfig,
                        sbf: Dict[str, Dict[int, int]],
                        init_pos_ecef: np.ndarray,
                        pdi_ms_per_block: np.ndarray | int = 1,
-                       max_epochs: int | None = None) -> NavSolutions:
+                       max_epochs: int | None = None,
+                       meas_start_sample: float | None = None,
+                       local_time_advance_s: float | None = None,
+                       doppler_at_fire_row: bool = False,
+                       mesh=None) -> NavSolutions:
     """Form WLS solutions from a tracked segment.
 
     `records` must come from a tracking run whose state was initialized
@@ -101,6 +105,34 @@ def run_ct_positioning(records: TrackRecords, cfg: ReceiverConfig,
     at msToProcessCT_1ms + countinx, trackingCT_POS_updated.m:183,294).
     The transmit-time term uses each channel's own elapsed-ms cumsum
     (…:458: (index − switch)·pdi + switch).
+
+    `meas_start_sample` overrides the first measurement sample (the
+    reference anchors it at the first common subframe sample of its
+    40 s eph-tracking record, …:151-164; replaying the reference's own
+    shipped POS records needs the anchor passed in explicitly because
+    that eph record predates the POS record's rows).
+
+    `local_time_advance_s` overrides the per-epoch local-clock advance.
+    The reference advances localTime by measSampleStep/Fs where
+    measSampleStep is scaled by file.dataType — a BYTE count
+    (…:164,554) — so its localTime steps 2× the true epoch interval on
+    IQ data; the feedback loop re-removes the overshoot each epoch, so
+    only the recorded clkBias (a constant +20 ms·c) and localTime are
+    affected, not the position fix.  Default (None) uses the physically
+    correct sample count; golden-artifact comparisons pass the
+    reference's byte-scaled value.
+
+    `doppler_at_fire_row=True` feeds the velocity LS the carrier
+    frequency of the first row at which every channel has passed the
+    measurement sample — one common row, the reference's live loop
+    variable (…:513-514) — instead of each channel's interpolation row.
+    Default keeps the epoch-aligned row.
+
+    `mesh` (jax.sharding.Mesh) solves every epoch with the channel axis
+    sharded over devices — psum-reduced normal equations for the
+    iterated LS / DOP / velocity LS with validity weights
+    (parallel/epoch.sharded_wls_epoch); results match the host solver
+    to float round-off.
     """
     sig, cmn, solu = cfg.signal, cfg.cmn, cfg.solu
     fs = sig.fs
@@ -119,12 +151,17 @@ def run_ct_positioning(records: TrackRecords, cfg: ReceiverConfig,
     nav1 = np.array([sbf["nav1"][p] for p in prns])
     sfb1 = np.array([eph[p].sfb[0] for p in prns])
 
-    sample_start = np.array([
-        first_subframe_sample(records, ch, int(nav1[ch]), int(sfb1[ch]))
-        for ch in range(n_ch)])
+    if meas_start_sample is None:
+        sample_start = np.array([
+            first_subframe_sample(records, ch, int(nav1[ch]), int(sfb1[ch]))
+            for ch in range(n_ch)])
+        meas_start = sample_start.max() + 1
+    else:
+        meas_start = float(meas_start_sample)
     sample_end = records.absolute_sample[-1].min() - 1
-    meas_start = sample_start.max() + 1
     meas_step = int(fs * solu.nav_sol_period_ms / 1000)
+    lt_advance = (meas_step / fs if local_time_advance_s is None
+                  else float(local_time_advance_s))
 
     abs_s = records.absolute_sample            # (T, N)
     out: Dict[str, List] = {k: [] for k in (
@@ -138,6 +175,16 @@ def run_ct_positioning(records: TrackRecords, cfg: ReceiverConfig,
     # unconditionally)
     cn0_rows, gate_rows = cn0_series(records, pdi)
     mask_thresh = float(getattr(solu, "mask_snr_db", 0.0))
+    if mask_thresh > 0:
+        from gps_sdr_tpu.utils.metrics import gate_mask
+        valid_rows = gate_mask(gate_rows, mask_thresh)
+    else:
+        valid_rows = np.ones_like(gate_rows, bool)
+
+    epoch_solver = None
+    if mesh is not None and getattr(mesh, "size", 1) > 1:
+        from gps_sdr_tpu.parallel.epoch import make_epoch_solver
+        epoch_solver = make_epoch_solver(mesh, L1_WAVELENGTH)
 
     est = np.concatenate([np.asarray(init_pos_ecef, np.float64), [0.0]])
     local_time = np.inf
@@ -186,23 +233,28 @@ def run_ct_positioning(records: TrackRecords, cfg: ReceiverConfig,
         prvec = prvec - iono - tropo
 
         cn0_now = cn0_rows[idx, np.arange(n_ch)]
-        m = (gate_rows[idx, np.arange(n_ch)] >= mask_thresh
-             if mask_thresh > 0 else np.ones(n_ch, bool))
+        m = valid_rows[idx, np.arange(n_ch)]
         if m.sum() < 4:
             # not enough healthy channels to gate — degrade gracefully
             # to the ungated solution rather than losing the fix
             m = np.ones(n_ch, bool)
-        est, dop = iterated_ls_position(prvec[m], sv_pos_rot[m], est)
-        est = np.asarray(est)
         # Doppler observable (carrFreq − IF), as the reference passes it
         # (trackingCT_POS_updated.m:514).  NB the fitted clock drift then
         # equals −c·(receiver fractional clock drift): a fast receiver
         # clock lowers every measured carrier frequency.
-        doppler = records.carr_freq[idx, np.arange(n_ch)] - sig.f_if
-        vel, clk_drift, _ = doppler_velocity_ls(
-            est[:3], sv_pos_rot[m], sv_vel[m], doppler[m], L1_WAVELENGTH,
-            sv_clk_rate[m])
-        vel = np.asarray(vel)
+        dop_rows = (np.full(n_ch, min(int(idx.max()) + 1, T - 1))
+                    if doppler_at_fire_row else idx)
+        doppler = records.carr_freq[dop_rows, np.arange(n_ch)] - sig.f_if
+        if epoch_solver is not None:
+            est, dop, vel, clk_drift = epoch_solver(
+                prvec, sv_pos_rot, sv_vel, doppler, sv_clk_rate, m, est)
+        else:
+            est, dop = iterated_ls_position(prvec[m], sv_pos_rot[m], est)
+            est = np.asarray(est)
+            vel, clk_drift, _ = doppler_velocity_ls(
+                est[:3], sv_pos_rot[m], sv_vel[m], doppler[m],
+                L1_WAVELENGTH, sv_clk_rate[m])
+            vel = np.asarray(vel)
 
         enu = np.asarray(xyz2enu(est[:3], init_pos_ecef))
         vel_enu = np.asarray(xyz2enu(est[:3] + vel, est[:3]))
@@ -228,7 +280,7 @@ def run_ct_positioning(records: TrackRecords, cfg: ReceiverConfig,
         # local clock feedback (trackingCT_POS_updated.m:550-554)
         local_time = local_time - est[3] / C_LIGHT
         out["lt"].append(local_time)
-        local_time = local_time + meas_step / fs
+        local_time = local_time + lt_advance
         epoch += 1
 
     return NavSolutions(

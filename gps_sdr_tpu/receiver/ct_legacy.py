@@ -20,6 +20,22 @@ receiver clock and runs WLS per epoch, the legacy stage:
 The tracked records come from the same device tracking scan as the
 production stage; only the measurement formation and estimator differ.
 Host-side float64 like all positioning epoch math in this framework.
+
+Intentional deviations from the cited trackingCT_POS.m (kept aligned
+with the production/updated stage so the two generations are directly
+comparable):
+
+- transmit time omits the reference's +(1/c)·sv_clk term
+  (trackingCT_POS.m:291) — the SV clock correction is applied to the
+  pseudorange instead, as the updated stage does;
+- the −tgd·c group-delay correction is applied
+  (trackingCT_POS_updated.m:487), where the legacy file comments it out
+  (trackingCT_POS.m:297);
+- the filter epoch defaults to the config nav period (20 ms) rather
+  than the reference's 1 ms, with the process noise scaled by dt/1 ms
+  so the random-walk strength per unit time matches the reference
+  tuning (trackingCT_POS.m:58,72-74); pass epoch_ms=1 for the exact
+  legacy cadence.
 """
 
 from __future__ import annotations
@@ -97,7 +113,12 @@ def run_ct_positioning_kf(records: TrackRecords, cfg: ReceiverConfig,
     F = np.eye(8)
     F[0, 3] = F[1, 4] = F[2, 5] = F[6, 7] = dt
     P = np.diag([1e-1] * 6 + [1e0, 1e0])
-    Qn = 10.0 * np.diag([0.1, 0.1, 0.1, 0.01, 0.01, 0.01, 10.0, 1.0])
+    # the reference's Q is tuned for its 1 ms update (trackingCT_POS.m:
+    # 72-74); random-walk process noise accumulates linearly with the
+    # epoch interval, so scale by dt/1 ms to keep the per-second
+    # strength when running at the 20 ms default
+    Qn = (dt / 1e-3) * 10.0 * np.diag(
+        [0.1, 0.1, 0.1, 0.01, 0.01, 0.01, 10.0, 1.0])
     R = np.diag([1e-1] * n_ch + [1e-2] * n_ch)
 
     est = np.asarray(init_pos_ecef, np.float64).copy()
@@ -135,7 +156,12 @@ def run_ct_positioning_kf(records: TrackRecords, cfg: ReceiverConfig,
         tgd = np.asarray(sv["tgd_s"])
 
         prvec = pr + sv_clk - tgd * C_LIGHT
-        sv_pos_rot = np.asarray(earth_rotation_correction(sv_pos, prvec))
+        # the relative pseudorange carries the filter's (huge, 75 ms-
+        # base) clock offset; the Sagnac rotation angle needs the actual
+        # signal travel time, so remove the previous-epoch clock-bias
+        # estimate first (trackingCT_POS.m:298 rotates by prvec−usr_clk)
+        sv_pos_rot = np.asarray(earth_rotation_correction(
+            sv_pos, prvec - clk_bias))
         llh = np.asarray(xyz2llh(est))
         iono = np.asarray(klobuchar_delay(
             transmit_time, sv_pos_rot, est,

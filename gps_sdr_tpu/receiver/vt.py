@@ -75,11 +75,12 @@ class VTState(NamedTuple):
     innov_sq_sum: jnp.ndarray      # (2N,) running Z² for adaptive R
     step_count: jnp.ndarray        # int32 scalar
     # measurement-validity gate (SURVEY.md §5): moment-method window over
-    # the prompt powers; channels whose post-correlation SNR stays below
-    # params.mask_snr_db (min over the last 3 windows) have their pr/prr
-    # rows deweighted out of the EKF update
+    # the prompt powers; channels whose post-correlation SNR averaged
+    # over the last 5 windows falls below params.mask_snr_db have their
+    # pr/prr rows deweighted out of the EKF update (threshold rationale:
+    # utils/metrics.cn0_series gate note)
     zk: jnp.ndarray                # (N, K) prompt-power window
-    snr_hist: jnp.ndarray          # (N, 3) last window SNRs [dB]
+    snr_hist: jnp.ndarray          # (N, 5) last window SNRs [dB]
     cn0: jnp.ndarray               # (N,) latest C/N0 estimate [dB-Hz]
     valid: jnp.ndarray             # (N,) bool gate
 
@@ -106,10 +107,21 @@ class VTParams:
     r_prr_max: float = 400.0
     r_min: float = 0.01
     remove_dc: bool = False
-    mask_snr_db: float = 6.0        # post-corr SNR gate (min of last 3
-                                    # windows); 0 disables
+    mask_snr_db: float = 1.0        # post-corr SNR gate (mean of last 5
+                                    # windows; utils/metrics.cn0_series
+                                    # gate note); 0 disables
     cn0_window: int = 20            # K of the Zk window (trackingCT.m:120)
     r_masked: float = 1e12          # R inflation for gated-out channels
+    kepler_update_ms: int = 50      # full Kepler cadence: SV pos/vel/clock
+                                    # solved every K ms and extrapolated
+                                    # along velocity + central-gravity
+                                    # acceleration between (≤1e-7 m over
+                                    # 50 ms vs ~0.6 m/s² SV acceleration;
+                                    # the reference re-solves per ms,
+                                    # trackingVT_POS_updated.m:185 — in
+                                    # emulated f64 that was the VT
+                                    # throughput bottleneck).  1 = exact
+                                    # per-ms solve
     replica: str = "auto"           # correlator engine (tracking.py
                                     # semantics: auto → fused Pallas
                                     # kernel on TPU, exact NCO elsewhere)
@@ -170,35 +182,46 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
 
     F = jnp.eye(8, dtype=jnp.float64)
     F = F.at[0, 3].set(dt).at[1, 4].set(dt).at[2, 5].set(dt).at[6, 7].set(dt)
-    Q = jnp.diag(jnp.asarray(
+    F32 = F.astype(jnp.float32)
+    Q32 = jnp.diag(jnp.asarray(
         [params.q_pos] * 3 + [params.q_vel] * 3
-        + [params.q_clk, params.q_clkd], jnp.float64))
+        + [params.q_clk, params.q_clkd], jnp.float32))
+    # the EKF covariance loop runs in f32 (state_cov/r_diag/innov_sq_sum
+    # carry f32; symmetrized each step) — measurement and error-state
+    # magnitudes are metres, and f64 on TPU is software-emulated
+    state = state._replace(
+        state_cov=state.state_cov.astype(jnp.float32),
+        r_diag=state.r_diag.astype(jnp.float32),
+        innov_sq_sum=state.innov_sq_sum.astype(jnp.float32))
 
-    def step(st: VTState, _):
-        est_pos = st.total_state[:3]
-        est_vel = st.total_state[3:6]
-        clk_bias = st.total_state[6]
-        clk_drift = st.total_state[7]
+    tgd_m = eph.tgd * C_LIGHT
+    mu_earth = 3.986005e14  # WGS-84 GM (geo/ephemeris.py MU_EARTH)
 
-        # --- per-channel block length & transmit-time advance ---
-        step_chips = st.code_freq / fs
-        num = jnp.ceil((n_chips - st.rem_chip) / step_chips).astype(jnp.int64)
-        tt = st.transmit_time + num.astype(jnp.float64) / fs
+    def kepler_refresh(st: VTState):
+        """Full-precision geometry once per group head: Kepler solve,
+        Sagnac-rotated range, unit line-of-sight, measurement matrix, and
+        (on its own cadence) atmosphere.  The inner steps extrapolate SV
+        motion along velocity + central-gravity acceleration and
+        LINEARIZE the predicted pseudorange around this head state —
+        second-order range error over a 50 ms group is |Δsv|²/2r ≈
+        4·10⁻⁴ m, ~10⁻⁵ of the code chip, while removing the per-step
+        emulated-f64 norm/rotation chains that dominated VT wall time on
+        TPU (f64 there is software-emulated)."""
+        est_pos_h = st.total_state[:3]
+        clk_bias_h = st.total_state[6]
+        sv = sv_pos_vel_clock(eph, st.transmit_time)
+        pos0, vel0 = sv["pos"], sv["vel"]
+        r3 = jnp.sum(pos0 * pos0, axis=-1, keepdims=True) ** 1.5
+        acc0 = -mu_earth * pos0 / r3
 
-        # --- SV state at transmit time ---
-        sv = sv_pos_vel_clock(eph, tt)
-        sv_pos, sv_vel = sv["pos"], sv["vel"]
-        sv_clk, sv_clk_rate = sv["clk_m"], sv["clk_rate_ms"]
-        tgd_m = sv["tgd_s"] * C_LIGHT
-
-        # --- atmospheric corrections every corr_update_ms ---
         def refresh_corr(_):
-            enu_r = xyz2enu(sv_pos, est_pos)
+            enu_r = xyz2enu(pos0, est_pos_h)
             el = jnp.arctan2(enu_r[..., 2],
                              jnp.linalg.norm(enu_r[..., :2], axis=-1))
             az = jnp.arctan2(enu_r[..., 0], enu_r[..., 1])
-            llh = xyz2llh(est_pos)
-            iono = klobuchar_delay(tt, sv_pos, est_pos, iono_alpha, iono_beta)
+            llh = xyz2llh(est_pos_h)
+            iono = klobuchar_delay(st.transmit_time, pos0, est_pos_h,
+                                   iono_alpha, iono_beta)
             tropo = jnp.abs(tropo_unb3_delay(
                 doy, jnp.rad2deg(llh[0]), llh[2], jnp.rad2deg(el)))
             return iono, tropo, el, az
@@ -208,13 +231,55 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
             refresh_corr,
             lambda _: (st.iono_m, st.tropo_m, st.el_rad, st.az_rad),
             operand=None)
+        st = st._replace(iono_m=iono, tropo_m=tropo, el_rad=el, az_rad=az)
 
-        # --- predicted pseudorange & vector code-NCO (…:208-223) ---
-        r0 = jnp.linalg.norm(sv_pos - est_pos[None, :], axis=-1)
-        pred_pr = r0 + clk_bias + sv_clk - tgd_m - tropo - iono
-        sv_pos_rot = earth_rotation_correction(sv_pos, pred_pr)
-        r1 = jnp.linalg.norm(sv_pos_rot - est_pos[None, :], axis=-1)
-        pred_pr = r1 + clk_bias + sv_clk - tgd_m - tropo - iono
+        # head pseudorange chain (…:208-215), f64, once per group
+        r0 = jnp.linalg.norm(pos0 - est_pos_h[None, :], axis=-1)
+        corr_m = clk_bias_h + sv["clk_m"] - tgd_m - tropo - iono
+        svp_rot = earth_rotation_correction(pos0, r0 + corr_m)
+        diff = svp_rot - est_pos_h[None, :]
+        r1 = jnp.linalg.norm(diff, axis=-1)
+        pred_pr_head = r1 + corr_m
+        a32 = (diff / r1[:, None]).astype(jnp.float32)   # unit LOS (N,3)
+        # measurement matrix (…:374-376): LOS direction changes by
+        # ~|Δ|/r < 10⁻⁵ rad across a group — constant per group
+        H = jnp.zeros((2 * n_ch, 8), jnp.float32)
+        H = H.at[:n_ch, 0:3].set(-a32).at[:n_ch, 6].set(1.0)
+        H = H.at[n_ch:, 3:6].set(-a32).at[n_ch:, 7].set(1.0)
+        cache = (st.transmit_time, vel0, acc0, sv["clk_rate_ms"],
+                 pred_pr_head, a32, est_pos_h, clk_bias_h, H,
+                 vel0.astype(jnp.float32), acc0.astype(jnp.float32),
+                 sv["clk_rate_ms"].astype(jnp.float32))
+        return st, cache
+
+    f32 = jnp.float32
+
+    def step(st: VTState, kcache):
+        (tt0, vel0, acc0, sv_clk_rate, pred_pr_head, a32, est_pos_h,
+         clk_bias_h, H, vel0_32, acc0_32, clk_rate_32) = kcache
+        est_pos = st.total_state[:3]
+        est_vel32 = st.total_state[3:6].astype(f32)
+        clk_bias = st.total_state[6]
+        clk_drift = st.total_state[7]
+        iono, tropo, el, az = st.iono_m, st.tropo_m, st.el_rad, st.az_rad
+
+        # --- per-channel block length & transmit-time advance ---
+        step_chips = st.code_freq / fs
+        num = jnp.ceil((n_chips - st.rem_chip) / step_chips).astype(jnp.int64)
+        tt = st.transmit_time + num.astype(jnp.float64) / fs
+
+        # --- predicted pseudorange: head value + f32 delta terms
+        # (…:208-223 re-evaluates the whole chain per ms; see
+        # kepler_refresh for the error budget) ---
+        dt_e = tt - tt0                                   # f64 (N,)
+        dte32 = dt_e.astype(f32)[:, None]
+        sv_delta32 = vel0_32 * dte32 + (0.5 * dte32 * dte32) * acc0_32
+        sv_vel32 = vel0_32 + acc0_32 * dte32              # (N,3) f32
+        d_range32 = (jnp.sum(a32 * sv_delta32, axis=-1)
+                     - a32 @ (est_pos - est_pos_h).astype(f32))
+        pred_pr = (pred_pr_head + (clk_bias - clk_bias_h)
+                   + sv_clk_rate * dt_e
+                   + d_range32.astype(jnp.float64))
         delta_pr = (pred_pr - st.predicted_pr_last) / dt
         code_freq = jnp.where(
             st.step_count == 0, st.code_freq,
@@ -266,9 +331,10 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
         # prompt powers, refreshed every K blocks (estimator per
         # trackingCT.m:120-134; the gating itself is this build's
         # failure-handling layer, SURVEY.md §5 — the reference feeds all
-        # channels always).  Gate = post-correlation SNR (no 1/T term),
-        # min over the last 3 windows: drop fast, recover slowly, and
-        # noise flicker above threshold is cubed away.
+        # channels always).  Gate = post-correlation SNR (no 1/T term)
+        # averaged over the last 5 windows — the averaging is what
+        # separates weak-lock (≈+4 dB at 31 dB-Hz, 1 ms) from noise
+        # (≈−2.7 dB); hard failures crash the mean within one window.
         from gps_sdr_tpu.ops.loops import cn0_moment_estimator
         k_win = params.cn0_window
         pp = (p_i.astype(jnp.float64) ** 2 + p_q.astype(jnp.float64) ** 2)
@@ -280,7 +346,13 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
             cn0 = snr - 10.0 * jnp.log10(dt)
             hist = jnp.concatenate([st.snr_hist[:, 1:], snr[:, None]],
                                    axis=1)
-            gated = (jnp.min(hist, axis=1) >= params.mask_snr_db
+            # hysteresis (utils/metrics.gate_mask rationale): drop below
+            # the threshold, re-enter only 3 dB above it — noise strings
+            # 5 positive windows ~0.04% of the time, so a dead channel
+            # would flicker back in without the margin
+            m5 = jnp.mean(hist, axis=1)
+            gated = (jnp.where(st.valid, m5 >= params.mask_snr_db,
+                               m5 >= params.mask_snr_db + 3.0)
                      if params.mask_snr_db > 0
                      else jnp.ones_like(st.valid))
             return hist, cn0, gated
@@ -290,63 +362,46 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
             lambda _: (st.snr_hist, st.cn0, st.valid), operand=None)
 
         # --- DLL discriminator → pseudorange-error measurement (…:316-321)
-        e = jnp.sqrt(e_i * e_i + e_q * e_q).astype(jnp.float64)
-        l = jnp.sqrt(l_i * l_i + l_q * l_q).astype(jnp.float64)
-        code_err = -0.5 * (e - l) / jnp.maximum(e + l, 1e-30)
-        z_pr = code_err * C_LIGHT / code_freq
-
-        # --- nav-epoch SV states & H matrix (…:357-383).  The reference
-        # re-runs the full Kepler solver at the common epoch
-        # (trackingVT_POS_updated.m:360); the epoch is ≤ a few samples
-        # (≈0.1 µs) before the per-channel transmit times, so a
-        # first-order extrapolation along the SV velocity is sub-mm
-        # equivalent and halves the per-ms Kepler cost (emulated f64 is
-        # the VT throughput bottleneck on TPU) ---
-        num_min = jnp.min(num2) - 1
-        dt_pos = (num2 - num_min).astype(jnp.float64) / fs
-        tt_pos = tt - dt_pos
-        svp_pos = sv_pos - sv_vel * dt_pos[:, None]
-        pred_pr_pos = (jnp.linalg.norm(svp_pos - est_pos[None, :], axis=-1)
-                       + clk_bias + sv_clk - tgd_m
-                       - tropo - iono)
-        svp_rot = earth_rotation_correction(svp_pos, pred_pr_pos)
-        diff = svp_rot - est_pos[None, :]
-        rr = jnp.linalg.norm(diff, axis=-1, keepdims=True)
-        a = diff / rr                                     # unit LOS (N,3)
-        H = jnp.zeros((2 * n_ch, 8), jnp.float64)
-        H = H.at[:n_ch, 0:3].set(-a).at[:n_ch, 6].set(1.0)
-        H = H.at[n_ch:, 3:6].set(-a).at[n_ch:, 7].set(1.0)
+        e = jnp.sqrt(e_i * e_i + e_q * e_q)
+        l = jnp.sqrt(l_i * l_i + l_q * l_q)
+        code_err = -0.5 * (e - l) / jnp.maximum(e + l, 1e-30)   # f32
+        z_pr = code_err * (f32(C_LIGHT) / code_freq.astype(f32))
 
         # prr_pred = a·(Vest−Vs) = −ṙ_est, so the matching measurement is
         # +(carrFreq−IF)·c/fc = −ṙ − c·drift + sv_clk_rate; the EKF's
         # clock-drift state then converges to +c·(fractional clock drift)
         # — the OPPOSITE sign convention from the WLS dtRV it warm-starts
         # from (the filter re-converges within a few hundred ms).
-        prr_meas = (carr_freq - f_if) * C_LIGHT / fc
-        prr_pred = jnp.sum((est_vel[None, :] - sv_vel) * a, axis=-1)
-        z_prr = prr_pred - prr_meas - clk_drift + sv_clk_rate
-        z = jnp.concatenate([z_pr, z_prr])
+        prr_meas = ((carr_freq - f_if) * (C_LIGHT / fc)).astype(f32)
+        prr_pred = jnp.sum((est_vel32[None, :] - sv_vel32) * a32, axis=-1)
+        z_prr = (prr_pred - prr_meas - clk_drift.astype(f32)
+                 + clk_rate_32)
+        z = jnp.concatenate([z_pr, z_prr])                      # (2N,) f32
 
-        # --- EKF predict + update (…:388-404); gated-out channels have
-        # both measurement rows deweighted by r_masked ---
+        # --- EKF predict + update (…:388-404) in f32 (measurement/error
+        # magnitudes are metres; the f64 total state only receives the
+        # small correction).  Gated-out channels have both measurement
+        # rows deweighted by r_masked. ---
         valid2 = jnp.concatenate([valid, valid])
-        r_used = jnp.where(valid2, st.r_diag, params.r_masked)
-        P = F @ st.state_cov @ F.T + Q
-        S = H @ P @ H.T + jnp.diag(r_used)
-        K = jax.scipy.linalg.solve(S.T, (P @ H.T).T, assume_a="pos").T
+        r_used = jnp.where(valid2, st.r_diag, f32(params.r_masked))
+        P = F32 @ st.state_cov @ F32.T + Q32
+        PHt = P @ H.T
+        S = H @ PHt + jnp.diag(r_used)
+        K = jax.scipy.linalg.solve(S, PHt.T, assume_a="pos").T
         err = K @ z
-        P = (jnp.eye(8) - K @ H) @ P
-        total = st.total_state + err
+        P = (jnp.eye(8, dtype=f32) - K @ H) @ P
+        P = 0.5 * (P + P.T)          # keep symmetric against f32 round-off
+        total = st.total_state + err.astype(jnp.float64)
         # propagate to next epoch (…:440-442)
         total_next = F @ total
 
         # --- adaptive R (…:445-467); gated-out innovations are excluded
         # so a recovering channel re-enters with a sane R ---
-        sq = st.innov_sq_sum + jnp.where(valid2, z * z, 0.0)
+        sq = st.innov_sq_sum + jnp.where(valid2, z * z, f32(0.0))
         cnt = st.step_count + 1
 
         def update_r(_):
-            m = sq / params.r_update_ms
+            m = sq / f32(params.r_update_ms)
             rp = jnp.clip(m[:n_ch] * 10.0, params.r_min, params.r_pr_max)
             rr_ = jnp.clip(m[n_ch:], params.r_min, params.r_prr_max)
             return jnp.concatenate([rp, rr_]), jnp.zeros_like(sq)
@@ -365,6 +420,10 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
             innov_sq_sum=sq, step_count=cnt, zk=zk, snr_hist=snr_hist,
             cn0=cn0, valid=valid)
 
+        # common-epoch time for the record (the earliest channel's block
+        # start): tt − (num − min(num) + 1)/fs, as before the H hoist
+        num_min = jnp.min(num2) - 1
+        local_time = jnp.min(tt - (num2 - num_min).astype(jnp.float64) / fs)
         rec = dict(corr=corr, carr_err=carr_err, code_err=code_err,
                    code_freq=code_freq, carr_freq=carr_freq,
                    delta_pr=delta_pr, num_sample=num2,
@@ -374,14 +433,33 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
                    # per-measurement equivalent loop bandwidth [Hz]:
                    # diag(H·K)/4/293/0.001 — the 2021 VT variant's
                    # diagnostic (trackingVT_POS_updated_by_20210621.m:384;
-                   # 293 m/chip, 1 ms update)
-                   loop_bw_hz=jnp.diagonal(H @ K) / (4.0 * 293.0 * 1e-3),
-                   el=el, az=az, sv_vel=sv_vel,
-                   local_time=jnp.min(tt_pos), transmit_time=tt,
+                   # 293 m/chip, 1 ms update); diag(H@K) without the
+                   # full matmul
+                   loop_bw_hz=jnp.sum(H * K.T, axis=1)
+                   / f32(4.0 * 293.0 * 1e-3),
+                   el=el, az=az, sv_vel=sv_vel32,
+                   local_time=local_time, transmit_time=tt,
                    cn0=cn0, valid=valid)
         return new_state, rec
 
-    return jax.lax.scan(step, state, None, length=n_steps)
+    K = max(1, int(params.kepler_update_ms))
+
+    def run_group(st: VTState, n: int):
+        st, cache = kepler_refresh(st)
+        return jax.lax.scan(lambda s, _: step(s, cache), st, None, length=n)
+
+    n_groups, rem = divmod(n_steps, K)
+    if n_groups == 0:
+        return run_group(state, rem)
+    st, recs = jax.lax.scan(lambda s, _: run_group(s, K), state, None,
+                            length=n_groups)
+    recs = jax.tree.map(
+        lambda a: a.reshape((n_groups * K,) + a.shape[2:]), recs)
+    if rem:
+        st, recs_r = run_group(st, rem)
+        recs = jax.tree.map(lambda a, b: jnp.concatenate([a, b]),
+                            recs, recs_r)
+    return st, recs
 
 
 @dataclasses.dataclass
@@ -465,7 +543,7 @@ def init_vt_state(cfg: ReceiverConfig, ct_records: TrackRecords,
             np.full(n, params.r_pr0), np.full(n, params.r_prr0)])),
         innov_sq_sum=jnp.asarray(z2), step_count=jnp.asarray(0, jnp.int32),
         zk=jnp.zeros((n, params.cn0_window), jnp.float64),
-        snr_hist=jnp.full((n, 3), 99.0, jnp.float64),
+        snr_hist=jnp.full((n, 5), 99.0, jnp.float64),
         cn0=jnp.full(n, 99.0, jnp.float64),
         valid=jnp.ones(n, bool))
 

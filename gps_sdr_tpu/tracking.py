@@ -503,12 +503,18 @@ class TrackRecords:
 
 def run_tracking(source: IFSampleSource, cfg: ReceiverConfig, prns,
                  state: TrackState, params: TrackParams, n_ms: int,
-                 chunk_ms: int = 1000, per_channel_io: bool = False
-                 ) -> Tuple[TrackRecords, TrackState]:
+                 chunk_ms: int = 1000, per_channel_io: bool = False,
+                 mesh=None) -> Tuple[TrackRecords, TrackState]:
     """Host driver: stream chunks to device, run the jitted scan per chunk.
 
     `prns` orders the channels; `state` comes from `init_track_state` or a
     previous segment (the 3-phase eph schedule chains segments).
+
+    `mesh` (a jax.sharding.Mesh) shards the channel axis over devices
+    (SURVEY.md §2.9 per-channel parallelism): channels are padded to a
+    multiple of the mesh size (duplicates of channel 0, dropped from the
+    output), per-channel arithmetic is unchanged, so records are
+    bit-identical to the single-device scan.
     """
     S = cfg.signal.samples_per_ms
     fs = float(cfg.signal.fs)
@@ -539,6 +545,15 @@ def run_tracking(source: IFSampleSource, cfg: ReceiverConfig, prns,
             f"file has {source.n_samples}")
     n_blocks_total = n_ms // params.pdi_ms
     blocks_per_chunk = max(1, chunk_ms // params.pdi_ms)
+    use_mesh = (mesh is not None and getattr(mesh, "size", 1) > 1
+                and not per_channel_io)
+    n_pad = 0
+    if use_mesh:
+        from gps_sdr_tpu.parallel.tracking import (pad_channels,
+                                                   sharded_track_scan)
+        state, chip_tables, n_pad = pad_channels(state, chip_tables,
+                                                 mesh.size)
+        sharded_fns: Dict[int, object] = {}
     use_planes = params.replica == "pallas"
     read_fn = functools.partial(
         source.read_iq_planes if use_planes else source.read_iq_pairs,
@@ -569,10 +584,22 @@ def run_tracking(source: IFSampleSource, cfg: ReceiverConfig, prns,
                 length = (ptr_max - ptr_min) + win
                 raw = jnp.asarray(prefetcher.fetch(ptr_min, length))
                 start = jnp.int64(ptr_min)
-            state, rec = track_scan(raw, start, state, chip_tables,
-                                    params, nb, fs, blk,
-                                    float(cfg.signal.code_freq_basis),
-                                    margin)
+            if use_mesh:
+                fn = sharded_fns.get(nb)
+                if fn is None:
+                    fn = sharded_track_scan(
+                        mesh, params, nb, fs, blk,
+                        float(cfg.signal.code_freq_basis), margin,
+                        chip_tables.ndim)
+                    sharded_fns[nb] = fn
+                state, rec = fn(raw, start, state, chip_tables)
+            else:
+                state, rec = track_scan(raw, start, state, chip_tables,
+                                        params, nb, fs, blk,
+                                        float(cfg.signal.code_freq_basis),
+                                        margin)
+            if n_pad:
+                rec = {k: v[:, :-n_pad] for k, v in rec.items()}
             nb_next = min(blocks_per_chunk, n_blocks_total - done - nb)
             if prefetcher is not None and nb_next > 0:
                 # pointers advance by ~nb·pdi·S with ≤ tens of samples of
@@ -598,4 +625,6 @@ def run_tracking(source: IFSampleSource, cfg: ReceiverConfig, prns,
     finally:
         if prefetcher is not None:
             prefetcher.close()
+    if n_pad:
+        state = TrackState(*[f[:-n_pad] for f in state])
     return TrackRecords.concatenate(parts), state

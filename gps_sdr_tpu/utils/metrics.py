@@ -35,9 +35,18 @@ def cn0_series(p_i: np.ndarray, p_q: np.ndarray, t_coh_s=1e-3,
     w's estimate applies from window w+1's rows on (no lookahead — the
     first window gates itself, a warmup concession).  The gate series is
     the post-correlation SNR 10·log10(NA²/2σ²_IQ) (C/N0 without the 1/T
-    term), MIN over the last 3 completed windows: one noise window drops
-    a channel immediately, recovery needs 3 clean windows, and noise
-    flicker above threshold (p99 ≈ 6 dB at K=20) is cubed away.
+    term) averaged over the last 5 completed windows (100 ms at 1 ms
+    pdi).  Averaging is what separates weak-lock from noise: a single
+    K=20 window measures noise at −2.7 ± 2.5 dB (p99 ≈ +5.8) while a
+    locked 31 dB-Hz channel (the reference Opensky capture's weakest)
+    measures ≈ +4.4 ± 2.5 dB — inseparable per window, but the 5-window
+    means split at ≈ +0.8 vs +4.4 with ~0.1% error either side at a
+    +1 dB threshold (SolutionConfig.mask_snr_db).  Hard failures (code
+    walked off → bimodal window → ≈ −80 dB) still drop within one
+    window of the mean.  Consumers must apply the threshold with
+    hysteresis (:func:`gate_mask`): noise strings 5 positive windows
+    ~0.04% of the time, so a dead channel would flicker back without
+    the +3 dB re-entry margin.
     """
     pp = p_i.astype(np.float64) ** 2 + p_q.astype(np.float64) ** 2
     t_len, n_ch = pp.shape
@@ -58,19 +67,40 @@ def cn0_series(p_i: np.ndarray, p_q: np.ndarray, t_coh_s=1e-3,
     gate = np.full((t_len, n_ch), np.inf)
     if n_win == 0:
         return cn0, gate
-    snr3 = np.minimum(snr, np.minimum(
-        np.roll(snr, 1, axis=0), np.roll(snr, 2, axis=0)))
-    snr3[0] = snr[0]
-    snr3[1] = np.minimum(snr[0], snr[1])
+    # mean of the last ≤5 completed windows
+    cs = np.cumsum(snr, axis=0)
+    m5 = np.empty_like(snr)
+    for w in range(n_win):
+        lo = max(0, w - 4)
+        m5[w] = (cs[w] - (cs[lo - 1] if lo else 0.0)) / (w - lo + 1)
     cn0[:k] = est[0]
-    gate[:k] = snr3[0]
+    gate[:k] = m5[0]
     for w in range(n_win):
         lo, hi = (w + 1) * k, min((w + 2) * k, t_len)
         if lo >= t_len:
             break
         cn0[lo:hi] = est[w]
-        gate[lo:hi] = snr3[w]
+        gate[lo:hi] = m5[w]
     return cn0, gate
+
+
+def gate_mask(gate: np.ndarray, thresh_db: float,
+              reenter_margin_db: float = 3.0) -> np.ndarray:
+    """(T, N) validity mask from a gate series with hysteresis: a channel
+    drops when its gate falls below `thresh_db` and re-enters only above
+    `thresh_db + reenter_margin_db` (Schmitt trigger).  Noise exceeds the
+    drop threshold in ~0.04% of 5-window means but the re-entry level in
+    ~1e-9, so dead channels stay out; a briefly-dipping weak-lock channel
+    (mean ≈ +4.4 dB) recovers within a window or two."""
+    t_len, n_ch = gate.shape
+    valid = np.empty((t_len, n_ch), bool)
+    cur = np.ones(n_ch, bool)
+    enter = thresh_db + reenter_margin_db
+    for t in range(t_len):
+        g = gate[t]
+        cur = np.where(cur, g >= thresh_db, g >= enter)
+        valid[t] = cur
+    return valid
 
 
 def export_ephemeris_table(eph: dict, path: str, prns=None) -> str:

@@ -1,0 +1,275 @@
+"""Parity against the reference's shipped golden `.mat` artifacts.
+
+The reference repo ships every stage's outputs (SURVEY.md §4).  The raw
+IF captures are not distributable, but the WLS positioning stage is a
+pure function of the tracked records — so feeding the reference's own
+`tckRstCT_10ms_Opensky.mat` through `run_ct_positioning` must reproduce
+`navSolCT_10ms_Opensky.mat` epoch for epoch.  This is real-data parity
+with the reference's production run, no capture required.
+
+Reference-run quirks these tests encode (verified archaeology):
+- `absoluteSample` is an ftell BYTE offset (2 bytes/sample for int8 IQ).
+- localTime advances by measSampleStep/Fs where measSampleStep is a
+  byte count (trackingCT_POS_updated.m:164,554) → recorded clkBias sits
+  at ≈ +20 ms·c; the per-epoch feedback re-removes it (position is
+  unaffected).  The replay passes local_time_advance_s=0.04 to match.
+- The Doppler-velocity LS uses the LIVE carrier frequency at the row
+  where the epoch fired — one common row for all channels — not the row
+  containing the measurement sample (…:514 uses the loop variable).
+- The golden record's per-channel pdi switch rows are
+  1000 + countinx[1..5] of the 8-SV *acquired* list (the reference
+  indexes countinx by positioning-list position, so PRN 16 got PRN 4's
+  offset, …:183 vs trackingCT.m:530); the loader derives pdi from
+  numSample instead of trusting countinx.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from gps_sdr_tpu import navdecode
+from gps_sdr_tpu.config import (C_LIGHT, ReceiverConfig, SolutionConfig)
+from gps_sdr_tpu.geo.coords import llh2xyz
+from gps_sdr_tpu.io import matref
+from gps_sdr_tpu.receiver.ct import run_ct_positioning
+
+REF = "/root/reference/SDR_MATLAB-main"
+POS_PRNS = [3, 16, 22, 26, 31]
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(REF, "navSolCT_10ms_Opensky.mat")),
+    reason="reference .mat artifacts not mounted")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    rec, pdi = matref.load_tck_records(
+        os.path.join(REF, "tckRstCT_10ms_Opensky.mat"), POS_PRNS)
+    eph = matref.load_eph(os.path.join(REF, "eph_Opensky_90.mat"))
+    sbf = matref.load_sbf(os.path.join(REF, "sbf_Opensky_90.mat"))
+    nav = matref.load_navsol(os.path.join(REF, "navSolCT_10ms_Opensky.mat"))
+    return rec, pdi, eph, sbf, nav
+
+
+def test_nacquired_conventions(golden):
+    """nAcquired artifact matches BASELINE.md and the usable-SV filter
+    applied to the shipped ephemerides (findPosSV.m:23-42)."""
+    na = matref.load_nacquired(
+        os.path.join(REF, "nAcquired_Opensky_5000.mat"))
+    assert list(na["sv"]) == POS_PRNS
+    assert list(na["code_delay"]) == [3683, 26051, 2610, 57908, 39064]
+    np.testing.assert_allclose(
+        na["fine_freq_hz"],
+        [4580990, 4579695, 4581565, 4581835, 4581045], atol=0.5)
+    _, _, eph, _, _ = golden
+    assert navdecode.usable_svs(eph) == POS_PRNS
+
+
+def test_record_adaptation(golden):
+    """Record adaptation sanity: 3000 rows, per-channel pdi switch at
+    1000 + the (mis-indexed, see module docstring) countinx, rows ≈ S
+    before and ≈ 10·S after."""
+    rec, pdi, _, _, _ = golden
+    assert rec.absolute_sample.shape == (3000, 5)
+    switch_rows = [int(np.argmax(pdi[:, c] == 10)) for c in range(5)]
+    assert switch_rows == [1012, 1012, 1003, 1013, 1005]
+    S = 58000
+    for c in range(5):
+        sw = switch_rows[c]
+        assert np.all(np.abs(rec.num_sample[:sw, c] - S) < 20)
+        assert np.all(np.abs(rec.num_sample[sw:, c] - 10 * S) < 20)
+    # absoluteSample (converted to samples) is consistent with the block
+    # lengths: abs[t] − abs[t−1] == numSample[t]
+    d = np.diff(rec.absolute_sample, axis=0)
+    np.testing.assert_array_equal(d, rec.num_sample[1:])
+
+
+def test_meas_start_reconstruction(golden):
+    """Inverting epoch 0's codePhaseMeas through every channel's record
+    yields ONE measurement sample (spread ≪ 1 sample) — proof that the
+    record adaptation and the interpolation formula are exact."""
+    rec, pdi, eph, sbf, nav = golden
+    cfg = ReceiverConfig()
+    tow1 = np.array([eph[p].tow[0] for p in POS_PRNS])
+    nav1 = np.array([sbf["nav1"][p] for p in POS_PRNS])
+    sfb1 = np.array([eph[p].sfb[0] for p in POS_PRNS])
+    cur = matref.reconstruct_meas_start(rec, pdi, nav, tow1, nav1, sfb1,
+                                        cfg.signal.fs)
+    assert cur.max() - cur.min() < 1e-3, cur
+    # sampleStartMea must sit inside the capture span of the records
+    assert rec.absolute_sample[0].max() < cur[0] < rec.absolute_sample[-1].min()
+
+
+@pytest.fixture(scope="module")
+def replay(golden):
+    rec, pdi, eph, sbf, nav_ref = golden
+    cfg = ReceiverConfig(solu=SolutionConfig(mask_snr_db=0.0))
+    tow1 = np.array([eph[p].tow[0] for p in POS_PRNS])
+    nav1 = np.array([sbf["nav1"][p] for p in POS_PRNS])
+    sfb1 = np.array([eph[p].sfb[0] for p in POS_PRNS])
+    cur = matref.reconstruct_meas_start(rec, pdi, nav_ref, tow1, nav1, sfb1,
+                                        cfg.signal.fs)
+    init = np.asarray(llh2xyz(np.asarray(cfg.solu.truth_llh)))
+    nav = run_ct_positioning(
+        rec, cfg, POS_PRNS, eph, sbf, init, pdi_ms_per_block=pdi,
+        meas_start_sample=float(np.median(cur)),
+        # the reference's byte-scaled localTime step (module docstring)
+        local_time_advance_s=2 * cfg.solu.nav_sol_period_ms / 1000.0,
+        doppler_at_fire_row=True)
+    return nav, nav_ref
+
+
+def test_replay_all_660_epochs(replay):
+    nav, ref = replay
+    assert len(nav.local_time) == len(ref.local_time) == 660
+
+
+def test_replay_measurements_exact(replay):
+    """Transmit times, code phases, pseudoranges and localTime replay
+    bit-for-bit (identical float64 arithmetic path)."""
+    nav, ref = replay
+    np.testing.assert_array_equal(nav.transmit_time, ref.transmit_time)
+    np.testing.assert_array_equal(nav.code_phase_meas, ref.code_phase_meas)
+    np.testing.assert_array_equal(nav.raw_pseudorange, ref.raw_pseudorange)
+    np.testing.assert_allclose(nav.local_time, ref.local_time, atol=1e-9)
+
+
+def test_replay_position_parity(replay):
+    """All 660 WLS fixes match the reference to sub-micrometre (the LS
+    solves differ only in lstsq vs backslash round-off)."""
+    nav, ref = replay
+    dp = np.linalg.norm(nav.usr_pos - ref.usr_pos, axis=1)
+    assert dp.max() < 1e-5, dp.max()
+    np.testing.assert_allclose(nav.clk_bias_m, ref.clk_bias_m, atol=1e-5)
+    np.testing.assert_allclose(nav.dop, ref.dop, atol=1e-8)
+    np.testing.assert_allclose(nav.usr_pos_enu, ref.usr_pos_enu, atol=1e-5)
+    np.testing.assert_allclose(nav.usr_pos_llh[:, 2], ref.usr_pos_llh[:, 2],
+                               atol=1e-5)
+
+
+def test_replay_velocity_and_angles(replay):
+    nav, ref = replay
+    dv = np.linalg.norm(nav.usr_vel - ref.usr_vel, axis=1)
+    assert dv.max() < 1e-6, dv.max()
+    np.testing.assert_allclose(nav.clk_drift_ms, ref.clk_drift_ms, atol=1e-6)
+    # the reference's ENU velocity rotation negates its third row
+    # (trackingCT_POS_updated.m:523-526: [-cosL·cosλ, -cosL·sinλ, -sinL])
+    # so its recorded "U" is down-positive; ours is true up
+    np.testing.assert_allclose(nav.usr_vel_enu * [1.0, 1.0, -1.0],
+                               ref.usr_vel_enu, atol=1e-6)
+    np.testing.assert_allclose(nav.sat_el_deg, ref.sat_el_deg, atol=1e-9)
+    np.testing.assert_allclose(nav.sat_az_deg, ref.sat_az_deg, atol=1e-9)
+
+
+def test_replay_against_surveyed_truth(replay):
+    """End-to-end accuracy on the real capture: the reference README's
+    qualitative 'accurate in open sky' claim, quantified."""
+    nav, _ = replay
+    truth = np.asarray(llh2xyz(np.asarray(ReceiverConfig().solu.truth_llh)))
+    err = np.linalg.norm(nav.usr_pos - truth, axis=1)
+    # the reference run's own accuracy on this capture: ~43 m median 3-D
+    # error (its README shows the same tens-of-metres WLS scatter)
+    assert np.median(err) < 50.0, np.median(err)
+    assert np.percentile(err, 95) < 100.0
+
+
+def test_golden_cn0_matches_shipped_cn0_ct(golden):
+    """Our per-window C/N0 equals the reference's shipped in-loop CN0_CT
+    to float round-off in 748/750 windows; the 2 exceptions are exactly
+    the windows straddling a channel's pdi switch, where the t_coh²
+    normalization keeps the estimate physical (≥18 dB-Hz) while the
+    reference's unnormalized mixed window dips to its global minimum
+    (12.4 dB).  Also guards the round-2 regression (−220 dB gate trips
+    at the switch) on real data."""
+    import scipy.io as sio
+
+    from gps_sdr_tpu.utils.metrics import cn0_series
+
+    rec, pdi, _, _, _ = golden
+    ref_cn0 = np.asarray(sio.loadmat(
+        os.path.join(REF, "tckRstCT_10ms_Opensky.mat"),
+        squeeze_me=True)["CN0_CT"])                       # (150, 5)
+    ours = cn0_series(rec.p_i, rec.p_q, t_coh_s=pdi * 1e-3)
+    assert ours.shape == ref_cn0.shape
+    switch_rows = np.array([int(np.argmax(pdi[:, c] == 10))
+                            for c in range(5)])
+    straddle_w = switch_rows // 20                        # window index
+    mask = np.ones_like(ours, bool)
+    mask[straddle_w, np.arange(5)] = False
+    np.testing.assert_allclose(ours[mask], ref_cn0[mask], atol=1e-5)
+    # the straddle windows stay physical instead of collapsing
+    assert np.all(ours[~mask] > 15.0), ours[~mask]
+    assert np.all(ours > 15.0) and np.all(ours < 60.0)
+    # and the mean-of-5-windows gate keeps every healthy channel on this
+    # real capture — including the 31 dB-Hz ones whose single pdi=1
+    # windows dip to −4 dB (the reason the gate averages; metrics note)
+    _, gate = cn0_series(rec.p_i, rec.p_q, t_coh_s=pdi * 1e-3, gated=True)
+    assert np.all(gate[20:] > 1.0), gate[20:].min()
+
+
+def test_urban_artifacts_load():
+    """Urban artifacts are shipped trimmed ({P_i,P_q,carrFreq} and
+    {usrPos,clkBias} only — no remChip/absoluteSample), so the WLS replay
+    cannot run on them; validate what they do pin down: the nAcquired
+    conventions and a physical C/N0 on the real urban prompt records."""
+    import scipy.io as sio
+
+    na = matref.load_nacquired(
+        os.path.join(REF, "nAcquired_Urban_5000.mat"))
+    assert list(na["sv"]) == [1, 3, 7, 11, 18, 22]
+    np.testing.assert_allclose(
+        na["snr_db"], [42.63, 29.38, 19.90, 23.05, 18.69, 17.79], atol=0.01)
+    m = sio.loadmat(os.path.join(REF, "tckRstCT_1ms_Urban.mat"),
+                    squeeze_me=True)
+    t = m["TckResultCT_pos"]
+    from gps_sdr_tpu.utils.metrics import cn0_series
+    p_i = np.stack([np.asarray(t[p - 1]["P_i"], np.float64)
+                    for p in na["sv"]], axis=1)
+    p_q = np.stack([np.asarray(t[p - 1]["P_q"], np.float64)
+                    for p in na["sv"]], axis=1)
+    cn0 = cn0_series(p_i, p_q, t_coh_s=1e-3)
+    # urban multipath: deep fades (mins near 14 dB-Hz) but every tracked
+    # channel's median sits in the physical 28–40 dB-Hz band
+    assert cn0.shape[0] == 150
+    assert np.all(np.median(cn0, axis=0) > 28.0)
+    assert np.all(np.median(cn0, axis=0) < 40.0)
+
+
+def test_vt_golden_code_nco_law(golden):
+    """The vector code-NCO law codeFreq = f0·(1 − ΔPr/c)
+    (trackingVT_POS_updated.m:221-222) holds row-by-row on the shipped
+    VT record — the same law receiver/vt.py closes its loop with
+    (vt.py step 5).  Row 0 is the CT handoff (…:219)."""
+    import scipy.io as sio
+
+    vt = sio.loadmat(os.path.join(REF, "tckRstVT_Opensky_updated.mat"),
+                     squeeze_me=True)["TckResultVT"]
+    for prn in POS_PRNS:
+        ch = vt[prn - 1]
+        dpr = np.asarray(ch["deltaPr"], np.float64)
+        cf = np.asarray(ch["codeFreq"], np.float64)
+        law = 1.023e6 * (1.0 - dpr / C_LIGHT)
+        np.testing.assert_allclose(law[1:], cf[1:], rtol=0, atol=1e-6)
+        # and the handoff row equals the CT record's final-row frequency
+        # ballpark (same signal, both near the nominal chip rate)
+        assert abs(cf[0] - 1.023e6) < 50.0
+
+
+def test_vt_golden_handoff_alignment(golden):
+    """The shipped VT record's first sample pointer sits exactly at the
+    end of the shipped CT record (the reference warm-starts VT from CT,
+    trackingVT_POS_updated.m:109-132) — validating the CT→VT handoff
+    indexing this build replicates in pipeline.vt_position."""
+    import scipy.io as sio
+
+    rec, _, _, _, _ = golden
+    vt = sio.loadmat(os.path.join(REF, "tckRstVT_Opensky_updated.mat"),
+                     squeeze_me=True)["TckResultVT"]
+    for ch, prn in enumerate(POS_PRNS):
+        vt_abs0 = float(np.asarray(vt[prn - 1]["absoluteSample"])[0]) / 2
+        ct_abs = rec.absolute_sample[:, ch]
+        # first VT pointer = some late CT row + one 1 ms block (the VT
+        # stage re-reads from the recorded pointer)
+        gap = vt_abs0 - ct_abs[-1]
+        assert 0 < gap < 60000 * 10, (prn, gap)

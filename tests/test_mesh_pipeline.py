@@ -1,0 +1,113 @@
+"""Multi-device execution through the production driver (SURVEY.md §2.9,
+round-2 VERDICT missing #3): `Receiver` on the virtual 8-device CPU mesh
+must produce artifacts equivalent to the single-device run — tracking
+records bit-identical (per-channel arithmetic is unchanged by channel
+sharding), acquisition results identical, WLS solutions equal to float
+round-off (psum normal equations vs host lstsq)."""
+
+import shutil
+
+import jax
+import numpy as np
+import pytest
+
+from gps_sdr_tpu.pipeline import _REC_FIELDS, Receiver
+from gps_sdr_tpu.parallel.mesh import make_mesh
+
+from tests import scenario
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 2,
+                                reason="needs a multi-device mesh")
+
+
+@pytest.fixture(scope="module")
+def single(tmp_path_factory):
+    """Single-device receiver over the shared artifact cache."""
+    src = scenario.build_scenario_source()
+    rx = Receiver(scenario.CFG, src, artifact_dir=scenario.CACHE_DIR,
+                  mesh=None)
+    rx.track_for_eph(n_ms=scenario.DURATION_MS - 200)
+    rx.decode(start_offset_ms=200)
+    return rx
+
+
+@pytest.fixture(scope="module")
+def meshed(single, tmp_path_factory):
+    """Mesh receiver in a fresh artifact dir; the expensive decode-stage
+    artifacts are copied over so only acquisition + CT tracking +
+    positioning re-run (sharded)."""
+    mdir = tmp_path_factory.mktemp("mesh_artifacts")
+    for stem in (f"tckeph_{scenario.CFG.file.name}.npz",
+                 f"eph_{scenario.CFG.file.name}.pkl",
+                 f"countinx_{scenario.CFG.file.name}.npz",
+                 f"nacquired_{scenario.CFG.file.name}_0.npz"):
+        p = single._path(stem)
+        if p is not None and shutil.os.path.exists(p):
+            shutil.copy(p, mdir / stem)
+    rx = Receiver(scenario.CFG, single.source, artifact_dir=str(mdir),
+                  mesh=make_mesh())
+    assert rx.mesh is not None and rx.mesh.size >= 2
+    return rx
+
+
+def test_auto_mesh_resolution(single):
+    rx = Receiver(scenario.CFG, single.source)   # mesh="auto"
+    assert rx.mesh is not None
+    assert rx.mesh.size == len(jax.devices())
+
+
+def test_sharded_acquisition_identical(single, meshed):
+    a0 = single.acquisition()
+    am = meshed.acquisition()
+    np.testing.assert_array_equal(a0.sv, am.sv)
+    np.testing.assert_array_equal(a0.code_delay, am.code_delay)
+    np.testing.assert_allclose(a0.snr_db, am.snr_db, atol=1e-4)
+    np.testing.assert_allclose(a0.fine_freq_hz, am.fine_freq_hz, atol=1e-6)
+
+
+def test_sharded_ct_records_bit_identical(single, meshed):
+    rec0, nav0 = single.ct_position(n_ms=1600)
+    recm, navm = meshed.ct_position(n_ms=1600)
+    for f in _REC_FIELDS:
+        np.testing.assert_array_equal(
+            getattr(rec0, f), getattr(recm, f), err_msg=f)
+    # WLS epochs: psum normal-equation solver vs host lstsq
+    assert len(nav0.local_time) == len(navm.local_time) > 10
+    np.testing.assert_allclose(navm.usr_pos, nav0.usr_pos, atol=1e-5)
+    np.testing.assert_allclose(navm.clk_bias_m, nav0.clk_bias_m, atol=1e-5)
+    np.testing.assert_allclose(navm.usr_vel, nav0.usr_vel, atol=1e-6)
+    np.testing.assert_allclose(navm.dop, nav0.dop, atol=1e-9)
+    np.testing.assert_array_equal(navm.valid, nav0.valid)
+
+
+def test_sharded_epoch_masks_channels(single, meshed):
+    """The sharded epoch honors validity weights: zero-weight rows are
+    exact no-ops (same fix as dropping the rows host-side)."""
+    from gps_sdr_tpu.parallel.epoch import make_epoch_solver
+    from gps_sdr_tpu.positioning.wls import (doppler_velocity_ls,
+                                             iterated_ls_position)
+    from gps_sdr_tpu.config import L1_WAVELENGTH
+
+    rng = np.random.default_rng(5)
+    n = 6
+    usr = np.array([-2.418e6, 5.386e6, 2.404e6])
+    sv = usr + rng.normal(size=(n, 3)) * 5e6 + np.array([0, 0, 2.0e7])
+    rngs = np.linalg.norm(sv - usr, axis=1)
+    pr = rngs + 1234.5 + rng.normal(size=n)
+    sv_vel = rng.normal(size=(n, 3)) * 3e3
+    clk_rate = rng.normal(size=n) * 1e-2
+    doppler = rng.normal(size=n) * 1e3
+    valid = np.array([1, 1, 0, 1, 1, 1], bool)
+    init = np.concatenate([usr + 1000.0, [0.0]])
+
+    solver = make_epoch_solver(make_mesh(), L1_WAVELENGTH)
+    est_s, dop_s, vel_s, drift_s = solver(pr, sv, sv_vel, doppler,
+                                          clk_rate, valid, init)
+    est_h, dop_h = iterated_ls_position(pr[valid], sv[valid], init)
+    vel_h, drift_h, _ = doppler_velocity_ls(
+        np.asarray(est_h)[:3], sv[valid], sv_vel[valid], doppler[valid],
+        L1_WAVELENGTH, clk_rate[valid])
+    np.testing.assert_allclose(est_s, np.asarray(est_h), atol=1e-6)
+    np.testing.assert_allclose(dop_s, np.asarray(dop_h), atol=1e-9)
+    np.testing.assert_allclose(vel_s, np.asarray(vel_h), atol=1e-8)
+    np.testing.assert_allclose(drift_s, float(drift_h), atol=1e-8)

@@ -28,9 +28,10 @@ def test_report_writes_all_outputs(tmp_path):
     rx.report(out, ct_kw=dict(n_ms=4000, init_pos_ecef=INIT),
               vt_kw=dict(n_ms=3000, ct_n_ms=4000, init_pos_ecef=INIT))
     files = sorted(os.listdir(out))
-    assert files == ["task1_acquisition.png", "task2_tracking.png",
-                     "task3_ephemeris.csv", "task3_ephemeris.png",
-                     "task4_wls.png", "task5_ekf.png"]
+    assert files == ["channels_dashboard.png", "task1_acquisition.png",
+                     "task2_tracking.png", "task3_ephemeris.csv",
+                     "task3_ephemeris.png", "task4_wls.png",
+                     "task5_ekf.png", "vt_channels.png"]
     for f in files:
         if f.endswith(".png"):
             assert os.path.getsize(os.path.join(out, f)) > 10_000
