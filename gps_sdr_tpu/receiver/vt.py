@@ -8,9 +8,14 @@ blocks, jitted end to end.  Per step:
 
 1. block length from the *predicted* code frequency (ceil, …:164)
 2. transmitTime += numSample/fs (…:181)
-3. SV pos/vel/clock at transmit time (Kepler, vectorized over channels)
+3. SV pos/vel/clock at transmit time — full Kepler once per
+   `kepler_update_ms` group head, velocity + central-gravity
+   extrapolation between (the reference re-solves per ms, …:185;
+   f64 is software-emulated on TPU and dominated VT wall time)
 4. predicted pseudorange with clock/Sagnac/iono/tropo corrections
-   (…:208-215), iono/tropo refreshed every 100 ms (…:84-86,190-204)
+   (…:208-215) — full f64 chain at the group head, linearized f32
+   delta terms per step (error budget in kepler_refresh); iono/tropo
+   refreshed every 100 ms (…:84-86,190-204)
 5. **vector loop closure**: codeFreq = f0·(1 − ΔPr/(c·Δt)) — the code NCO
    is driven by the navigation solution, not a local DLL (…:218-223)
 6. fixed-shape E/P/L correlator bank (tracking.correlate_block)
@@ -19,7 +24,9 @@ blocks, jitted end to end.  Per step:
    Z_pr = δτ·c/codeFreq (…:316-321); carrier → pseudorange-rate
    measurement (physically-signed; see note below) (…:379-382)
 9. EKF predict/update on the 8-state error vector
-   [δp(3) δv(3) δb δḃ], total-state feedback + propagation (…:388-442)
+   [δp(3) δv(3) δb δḃ] in f32 (measurement/error magnitudes are metres;
+   covariance symmetrized each step; only the f64 total state receives
+   the correction), total-state feedback + propagation (…:388-442)
 10. adaptive measurement noise from innovation variance every 200 ms with
     the reference's clamps (…:445-467)
 

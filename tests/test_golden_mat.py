@@ -257,19 +257,20 @@ def test_vt_golden_code_nco_law(golden):
 
 
 def test_vt_golden_handoff_alignment(golden):
-    """The shipped VT record's first sample pointer sits exactly at the
-    end of the shipped CT record (the reference warm-starts VT from CT,
-    trackingVT_POS_updated.m:109-132) — validating the CT→VT handoff
-    indexing this build replicates in pipeline.vt_position."""
+    """The shipped VT run warm-started from the LAST row of the shipped
+    CT record (trackingVT_POS_updated.m:109-132,219): its first codeFreq
+    equals CT row 2999's bit-for-bit, and its first sample pointer sits
+    exactly one nominal 1 ms block (58000 samples) past that row — the
+    same handoff indexing this build replicates in
+    pipeline.vt_position/init_vt_state."""
     import scipy.io as sio
 
     rec, _, _, _, _ = golden
     vt = sio.loadmat(os.path.join(REF, "tckRstVT_Opensky_updated.mat"),
                      squeeze_me=True)["TckResultVT"]
     for ch, prn in enumerate(POS_PRNS):
-        vt_abs0 = float(np.asarray(vt[prn - 1]["absoluteSample"])[0]) / 2
-        ct_abs = rec.absolute_sample[:, ch]
-        # first VT pointer = some late CT row + one 1 ms block (the VT
-        # stage re-reads from the recorded pointer)
-        gap = vt_abs0 - ct_abs[-1]
-        assert 0 < gap < 60000 * 10, (prn, gap)
+        v = vt[prn - 1]
+        assert float(np.asarray(v["codeFreq"])[0]) == \
+            rec.code_freq[2999, ch], prn
+        vt_abs0 = float(np.asarray(v["absoluteSample"])[0]) / 2
+        assert vt_abs0 - rec.absolute_sample[2999, ch] == 58000.0, prn
