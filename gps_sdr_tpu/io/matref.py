@@ -83,9 +83,11 @@ def load_tck_records(path: str, prns: Sequence[int],
         rem_chip=per["remChip"], rem_phase=per["remCarrPhase"],
         absolute_sample=per["absoluteSample"] / bytes_per_sample,
         i_early=0, i_prompt=1, i_late=2)
-    # recover per-row coherent length from the block sizes
-    s_per_ms = np.round(per["numSample"][0].mean() /
-                        np.round(per["numSample"][0].mean() / 58000.0))
+    # recover per-row coherent length from the block sizes: the base
+    # (pdi=1) block is the smallest typical per-channel size (the per-
+    # channel 10th percentile is robust to the later 10 ms rows)
+    s_per_ms = float(np.round(np.min(
+        np.percentile(per["numSample"], 10, axis=0))))
     pdi = np.clip(np.round(per["numSample"] / s_per_ms), 1, None
                   ).astype(np.int64)
     return rec, pdi
@@ -174,6 +176,144 @@ def load_navsol(path: str) -> RefNavSolutions:
         dop=g["DOP"], sat_el_deg=g["satEA"], sat_az_deg=g["satAZ"],
         transmit_time=g["timeTransmit"], code_phase_meas=g["codePhaseMeas"],
         local_time=g["localTime"])
+
+
+def save_tck_records_mat(path: str, rec: TrackRecords,
+                         prns: Sequence[int], max_prn: int = 32,
+                         bytes_per_sample: int = 2,
+                         cn0_ct: np.ndarray | None = None) -> None:
+    """Export TrackRecords as a reference-schema `tckRstCT_*`-style .mat:
+    a 1×max_prn `TckResultCT_pos` struct array with the 18 per-ms fields
+    MATLAB users of the reference load (SURVEY.md §4), absoluteSample
+    converted back to ftell byte offsets.  Fields this build does not
+    keep (absoluteSampleCodedelay, codedelay, codedelay2, delayValue)
+    are derived: codedelay = mod(abs_bytes/dataType, S) as the reference
+    computes it (trackingVT_POS_updated.m:345), delayValue =
+    numSample − round(mean) per channel."""
+    import scipy.io as sio
+
+    T = rec.absolute_sample.shape[0]
+    empty = np.zeros(0)
+    rows = {p: i for i, p in enumerate(prns)}
+    s_per_ms = float(np.round(np.median(rec.num_sample)))
+    out = np.zeros((1, max_prn), dtype=[
+        (n, object) for n in (
+            "E_i", "E_q", "P_i", "P_q", "L_i", "L_q", "carrError",
+            "codeError", "codeFreq", "carrFreq", "numSample", "remChip",
+            "remCarrPhase", "absoluteSample", "absoluteSampleCodedelay",
+            "codedelay", "codedelay2", "delayValue")])
+    for p in range(1, max_prn + 1):
+        if p in rows:
+            ch = rows[p]
+            abs_b = rec.absolute_sample[:, ch] * bytes_per_sample
+            cd = np.mod(abs_b / bytes_per_sample, s_per_ms)
+            vals = dict(
+                E_i=rec.e_i[:, ch], E_q=rec.corr[:, ch, rec.i_early, 1],
+                P_i=rec.p_i[:, ch], P_q=rec.p_q[:, ch],
+                L_i=rec.l_i[:, ch], L_q=rec.corr[:, ch, rec.i_late, 1],
+                carrError=rec.carr_err[:, ch],
+                codeError=rec.code_err[:, ch],
+                codeFreq=rec.code_freq[:, ch],
+                carrFreq=rec.carr_freq[:, ch],
+                numSample=rec.num_sample[:, ch],
+                remChip=rec.rem_chip[:, ch],
+                remCarrPhase=rec.rem_phase[:, ch],
+                absoluteSample=abs_b,
+                absoluteSampleCodedelay=abs_b - cd * bytes_per_sample,
+                codedelay=cd, codedelay2=cd,
+                delayValue=(rec.num_sample[:, ch]
+                            - np.round(rec.num_sample[:, ch].mean())))
+        else:
+            vals = {}
+        for name in out.dtype.names:
+            out[0, p - 1][name] = np.asarray(
+                vals.get(name, empty), np.float64).reshape(1, -1)
+    payload = {"TckResultCT_pos": out}
+    if cn0_ct is not None:
+        payload["CN0_CT"] = np.asarray(cn0_ct, np.float64)
+    sio.savemat(path, payload)
+
+
+def save_navsol_mat(path: str, nav, var_name: str = "navSolutionsCT"
+                    ) -> None:
+    """Export NavSolutions as the reference's 14-field `navSolCT_*`
+    schema (navSolutionsWLS record, trackingCT_POS_updated.m:533-552).
+    NB the reference's usrVelENU third row is down-positive
+    (…:523-526); this export keeps OUR up-positive convention and MATLAB
+    consumers comparing against reference artifacts must flip it."""
+    import scipy.io as sio
+
+    rec = np.zeros((1, 1), dtype=[(n, object) for n in (
+        "rawPseudorange", "usrPos", "usrVel", "usrPosENU", "usrPosLLH",
+        "clkBias", "usrVelENU", "clkDrift", "DOP", "satEA", "satAZ",
+        "timeTransmit", "codePhaseMeas", "localTime")])
+    m = rec[0, 0]
+    m["rawPseudorange"] = nav.raw_pseudorange
+    m["usrPos"] = nav.usr_pos
+    m["usrVel"] = nav.usr_vel
+    m["usrPosENU"] = nav.usr_pos_enu
+    m["usrPosLLH"] = nav.usr_pos_llh
+    m["clkBias"] = nav.clk_bias_m.reshape(1, -1)
+    m["usrVelENU"] = nav.usr_vel_enu
+    m["clkDrift"] = nav.clk_drift_ms.reshape(1, -1)
+    m["DOP"] = nav.dop
+    m["satEA"] = nav.sat_el_deg
+    m["satAZ"] = nav.sat_az_deg
+    m["timeTransmit"] = nav.transmit_time
+    m["codePhaseMeas"] = nav.code_phase_meas
+    m["localTime"] = nav.local_time.reshape(-1, 1)
+    sio.savemat(path, {var_name: rec})
+
+
+def save_eph_mat(path: str, eph: Dict[int, EphemerisRecord],
+                 sbf: Dict[str, Dict[int, int]] | None = None,
+                 max_prn: int = 32, sbf_path: str | None = None) -> None:
+    """Export ephemerides (and optionally sbf) in the reference's
+    `eph_*`/`sbf_*` schemas (ini_eph.m field names: Ω₀ as 'omegae',
+    URA as 'N')."""
+    import scipy.io as sio
+
+    names = list(_EPH_FIELD_MAP) + ["updateflag"]
+    out = np.zeros((1, max_prn), dtype=[(n, object) for n in names])
+    empty = np.zeros(0)
+    for p in range(1, max_prn + 1):
+        r = eph.get(p)
+        for mat_name, attr in _EPH_FIELD_MAP.items():
+            v = np.asarray(getattr(r, attr), np.float64) if r else empty
+            out[0, p - 1][mat_name] = v.reshape(1, -1)
+        out[0, p - 1]["updateflag"] = np.asarray(
+            [[r.updateflag]] if r else [[0]], np.float64)
+    sio.savemat(path, {"eph": out})
+    if sbf is not None and sbf_path is not None:
+        nav1 = np.zeros((1, max_prn))
+        sfb1 = np.zeros((1, max_prn))
+        for p, v in sbf["nav1"].items():
+            if p <= max_prn:
+                nav1[0, p - 1] = v
+        for p, v in sbf["sfb1"].items():
+            if p <= max_prn:
+                sfb1[0, p - 1] = v
+        rec = np.zeros((1, 1), dtype=[("nav1", object), ("sfb1", object)])
+        rec[0, 0]["nav1"] = nav1
+        rec[0, 0]["sfb1"] = sfb1
+        sio.savemat(sbf_path, {"sbf": rec})
+
+
+def save_nacquired_mat(path: str, sv, snr_db, doppler_hz, code_delay,
+                       fine_freq_hz) -> None:
+    """Export the nAcquired artifact in the reference's schema
+    (findPosSV.m:42)."""
+    import scipy.io as sio
+
+    rec = np.zeros((1, 1), dtype=[(n, object) for n in (
+        "sv", "SNR", "Doppler", "codedelay", "fineFreq")])
+    m = rec[0, 0]
+    m["sv"] = np.asarray(sv, np.float64).reshape(1, -1)
+    m["SNR"] = np.asarray(snr_db, np.float64).reshape(1, -1)
+    m["Doppler"] = np.asarray(doppler_hz, np.float64).reshape(1, -1)
+    m["codedelay"] = np.asarray(code_delay, np.float64).reshape(1, -1)
+    m["fineFreq"] = np.asarray(fine_freq_hz, np.float64).reshape(1, -1)
+    sio.savemat(path, {"nAcquired": rec})
 
 
 def reconstruct_meas_start(rec: TrackRecords, pdi: np.ndarray,

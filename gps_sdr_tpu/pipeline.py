@@ -384,6 +384,10 @@ class Receiver:
                                      acq.fine_freq_hz[chans],
                                      params1.dll_freq_sign,
                                      cfg.signal.code_freq_basis)
+            # run_tracking counts SIGNAL milliseconds: (n_ms − sw_min)·10
+            # signal-ms at pdi=10 is exactly (n_ms − sw_min) blocks =
+            # record rows — one row per block, the most any channel's
+            # merge below consumes (n_ms − sw[ch] rows; no over-tracking)
             rec2, _ = run_tracking(self.source, cfg, pos_svs, st2,
                                    mk(cfg, pdi_ms=10),
                                    (n_ms - sw_min) * 10, chunk_ms=chunk_ms,
@@ -538,6 +542,40 @@ class Receiver:
         if self.cfg.solu.mode == 1:
             return self.ct_position_kf(**kw)
         return self.ct_position(**kw)
+
+    def export_mat(self, out_dir: str, ct_kw: Optional[Dict] = None
+                   ) -> None:
+        """Write the stage artifacts as MATLAB `.mat` files in the
+        reference's exact schemas (SDR_main.m's artifact chain:
+        nAcquired / eph / sbf / tckRstCT / navSolCT) so reference users
+        keep their MATLAB tooling.  Loaders in io/matref.py round-trip
+        these (tests/test_golden_mat.py::test_mat_export_roundtrip)."""
+        from gps_sdr_tpu.io import matref
+
+        os.makedirs(out_dir, exist_ok=True)
+        cfg = self.cfg
+        eph, sbf = self.decode()
+        pos_svs = self.usable_svs()
+        acq = self.acquisition()
+        ch = [acq.channel_index(p) for p in pos_svs]
+        name = cfg.file.name
+        matref.save_nacquired_mat(
+            os.path.join(out_dir, f"nAcquired_{name}_{cfg.file.skip_ms}.mat"),
+            pos_svs, acq.snr_db[ch], acq.doppler_hz[ch],
+            acq.code_delay[ch], acq.fine_freq_hz[ch])
+        matref.save_eph_mat(
+            os.path.join(out_dir, f"eph_{name}.mat"), eph, sbf=sbf,
+            sbf_path=os.path.join(out_dir, f"sbf_{name}.mat"))
+        rec, nav = self.ct_position(**(ct_kw or {}))
+        from gps_sdr_tpu.utils.metrics import cn0_series
+        pdi = cfg.track.pdi_ms
+        cn0 = cn0_series(rec.p_i, rec.p_q, t_coh_s=pdi * 1e-3)
+        matref.save_tck_records_mat(
+            os.path.join(out_dir, f"tckRstCT_{pdi}ms_{name}.mat"), rec,
+            pos_svs, bytes_per_sample=cfg.file.bytes_per_sample,
+            cn0_ct=cn0)
+        matref.save_navsol_mat(
+            os.path.join(out_dir, f"navSolCT_{pdi}ms_{name}.mat"), nav)
 
     def report(self, out_dir: str, vt: bool = True,
                ct_kw: Optional[Dict] = None,

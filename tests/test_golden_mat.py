@@ -236,6 +236,52 @@ def test_urban_artifacts_load():
     assert np.all(np.median(cn0, axis=0) < 40.0)
 
 
+def test_mat_export_roundtrip(golden, replay, tmp_path):
+    """The export side of the `.mat` interop (a reference user keeps
+    their MATLAB tooling): records/solutions/eph written in the
+    reference schemas round-trip through the import loaders."""
+    rec, pdi, eph, sbf, _ = golden
+    nav, _ = replay
+
+    p = str(tmp_path / "tck.mat")
+    matref.save_tck_records_mat(p, rec, POS_PRNS)
+    rec2, pdi2 = matref.load_tck_records(p, POS_PRNS)
+    np.testing.assert_array_equal(rec2.absolute_sample, rec.absolute_sample)
+    np.testing.assert_array_equal(rec2.rem_chip, rec.rem_chip)
+    np.testing.assert_array_equal(rec2.code_freq, rec.code_freq)
+    np.testing.assert_array_equal(rec2.num_sample, rec.num_sample)
+    np.testing.assert_allclose(rec2.corr, rec.corr, rtol=1e-6)
+    np.testing.assert_array_equal(pdi2, pdi)
+
+    pn = str(tmp_path / "nav.mat")
+    matref.save_navsol_mat(pn, nav)
+    nav2 = matref.load_navsol(pn)
+    np.testing.assert_array_equal(nav2.usr_pos, nav.usr_pos)
+    np.testing.assert_array_equal(nav2.transmit_time, nav.transmit_time)
+    np.testing.assert_array_equal(nav2.clk_bias_m, nav.clk_bias_m)
+    np.testing.assert_array_equal(nav2.dop, nav.dop)
+
+    pe, ps = str(tmp_path / "eph.mat"), str(tmp_path / "sbf.mat")
+    matref.save_eph_mat(pe, eph, sbf=sbf, sbf_path=ps)
+    eph2 = matref.load_eph(pe)
+    sbf2 = matref.load_sbf(ps)
+    assert sorted(eph2) == sorted(eph)
+    for p_ in POS_PRNS:
+        assert eph2[p_].updateflag == eph[p_].updateflag == 1
+        np.testing.assert_array_equal(eph2[p_].tow, eph[p_].tow)
+        np.testing.assert_array_equal(eph2[p_].sqrta, eph[p_].sqrta)
+        assert sbf2["nav1"][p_] == sbf["nav1"][p_]
+        assert sbf2["sfb1"][p_] == sbf["sfb1"][p_]
+
+    pa = str(tmp_path / "nacq.mat")
+    matref.save_nacquired_mat(pa, POS_PRNS, [30.0] * 5, [0.0] * 5,
+                              [3683, 26051, 2610, 57908, 39064],
+                              [4580990] * 5)
+    na = matref.load_nacquired(pa)
+    assert list(na["sv"]) == POS_PRNS
+    assert list(na["code_delay"]) == [3683, 26051, 2610, 57908, 39064]
+
+
 def test_vt_golden_code_nco_law(golden):
     """The vector code-NCO law codeFreq = f0·(1 − ΔPr/c)
     (trackingVT_POS_updated.m:221-222) holds row-by-row on the shipped
