@@ -244,6 +244,48 @@ def plot_vt_channels(trk, sol, prns: Sequence[int], truth_ecef: np.ndarray,
     plt.close(fig)
 
 
+def plot_acf_evolution(corr: np.ndarray, taps: Sequence[float],
+                       prns: Sequence[int], out_path: str,
+                       n_snapshots: int = 6,
+                       window_ms: int = 100) -> None:
+    """Correlation-function evolution from multicorrelator records — the
+    static equivalent of CalculateFeatures.m's animated ACF GIF
+    (:299-319): per SV, a time × tap envelope waterfall plus `n_snapshots`
+    window-averaged ACF curves (LOS keeps the sharp symmetric triangle;
+    multipath skews/widens it)."""
+    from gps_sdr_tpu.analysis.acf import acf_envelope
+
+    plt = _plt()
+    env = acf_envelope(corr)                       # (T, N, ntaps)
+    taps = np.asarray(taps, np.float64)
+    order = np.argsort(taps)
+    T, n = env.shape[:2]
+    fig, axes = plt.subplots(n, 2, figsize=(13, 2.8 * n), squeeze=False)
+    snap_rows = np.linspace(0, max(T - window_ms, 1), n_snapshots,
+                            dtype=int)
+    for ch, prn in enumerate(prns):
+        e = env[:, ch][:, order]
+        axes[ch][0].imshow(e.T, aspect="auto", origin="lower",
+                           extent=[0, T, taps[order][0], taps[order][-1]],
+                           cmap="viridis")
+        axes[ch][0].set_ylabel(f"PRN {prn}\ntap [chip]")
+        axes[ch][0].set_title("ACF envelope waterfall" if ch == 0 else "")
+        for r in snap_rows:
+            seg = e[r:r + window_ms].mean(axis=0)
+            axes[ch][1].plot(taps[order], seg, lw=0.8,
+                             label=f"{r}–{r + window_ms} ms")
+        axes[ch][1].set_title("window-averaged ACF snapshots"
+                              if ch == 0 else "")
+        if ch == 0:
+            axes[ch][1].legend(fontsize=6)
+    axes[-1][0].set_xlabel("time [ms]")
+    axes[-1][1].set_xlabel("tap offset [chip]")
+    fig.suptitle("Multicorrelator ACF evolution")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=100)
+    plt.close(fig)
+
+
 def save_all(acq=None, records=None, prns=None, eph=None, nav=None,
              vt_sol=None, truth_ecef=None, out_dir: str = "results",
              vt_trk=None) -> None:

@@ -71,3 +71,21 @@ def test_acquisition_table_format():
     txt = format_acquisition_table(A(), 4.58e6)
     assert "3683" in txt and "26.43" not in txt
     assert len(txt.splitlines()) == 3
+
+
+def test_acf_evolution_plot(tmp_path):
+    """plot_acf_evolution (the CalculateFeatures.m animated-GIF
+    equivalent) renders from synthetic multicorrelator records."""
+    import os
+
+    from gps_sdr_tpu.analysis.plots import plot_acf_evolution
+
+    rng = np.random.default_rng(2)
+    taps = [round(0.6 - 0.05 * i, 4) for i in range(25)]
+    tri = np.clip(1.0 - np.abs(np.asarray(taps)), 0.0, None)
+    corr = np.zeros((400, 2, 25, 2))
+    corr[..., 0] = 1000.0 * tri[None, None, :]
+    corr += rng.normal(scale=20.0, size=corr.shape)
+    out = str(tmp_path / "acf.png")
+    plot_acf_evolution(corr, taps, prns=(3, 16), out_path=out)
+    assert os.path.getsize(out) > 10_000
