@@ -48,3 +48,33 @@ def test_report_writes_all_outputs(tmp_path):
     z = np.load(os.path.join(scenario.CACHE_DIR, "nacquired_geo_scn_0.npz"))
     assert list(z["sv"]) == list(scenario.SCN_PRNS)
     assert z["snr_db"].shape == (5,)
+
+def test_export_mat_reference_schemas(tmp_path):
+    """Receiver.export_mat writes the reference's .mat artifact chain;
+    the files reload through io/matref with consistent contents."""
+    from gps_sdr_tpu.io import matref
+
+    src = scenario.build_scenario_source()
+    rx = Receiver(scenario.CFG, src, artifact_dir=scenario.CACHE_DIR)
+    rx.track_for_eph(n_ms=scenario.DURATION_MS - 200)
+    rx.decode(start_offset_ms=200)
+    out = str(tmp_path / "mat")
+    rx.export_mat(out, ct_kw=dict(n_ms=4000, init_pos_ecef=INIT))
+    files = sorted(os.listdir(out))
+    assert files == ["eph_geo_scn.mat", "nAcquired_geo_scn_0.mat",
+                     "navSolCT_1ms_geo_scn.mat", "sbf_geo_scn.mat",
+                     "tckRstCT_1ms_geo_scn.mat"]
+    prns = list(scenario.SCN_PRNS)
+    rec, pdi = matref.load_tck_records(
+        os.path.join(out, "tckRstCT_1ms_geo_scn.mat"), prns,
+        bytes_per_sample=scenario.CFG.file.bytes_per_sample)
+    assert rec.absolute_sample.shape == (4000, 5)
+    assert int(pdi.max()) == 1
+    nav = matref.load_navsol(os.path.join(out, "navSolCT_1ms_geo_scn.mat"))
+    truth = np.asarray(llh2xyz(np.asarray(scenario.TRUTH_LLH)))
+    err = np.linalg.norm(nav.usr_pos - truth, axis=1)
+    assert np.median(err) < 40.0
+    eph = matref.load_eph(os.path.join(out, "eph_geo_scn.mat"))
+    assert sorted(eph) == prns
+    na = matref.load_nacquired(os.path.join(out, "nAcquired_geo_scn_0.mat"))
+    assert list(na["sv"]) == prns
