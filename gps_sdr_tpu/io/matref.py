@@ -181,7 +181,8 @@ def load_navsol(path: str) -> RefNavSolutions:
 def save_tck_records_mat(path: str, rec: TrackRecords,
                          prns: Sequence[int], max_prn: int = 32,
                          bytes_per_sample: int = 2,
-                         cn0_ct: np.ndarray | None = None) -> None:
+                         cn0_ct: np.ndarray | None = None,
+                         samples_per_ms: int | None = None) -> None:
     """Export TrackRecords as a reference-schema `tckRstCT_*`-style .mat:
     a 1×max_prn `TckResultCT_pos` struct array with the 18 per-ms fields
     MATLAB users of the reference load (SURVEY.md §4), absoluteSample
@@ -195,7 +196,18 @@ def save_tck_records_mat(path: str, rec: TrackRecords,
     T = rec.absolute_sample.shape[0]
     empty = np.zeros(0)
     rows = {p: i for i, p in enumerate(prns)}
-    s_per_ms = float(np.round(np.median(rec.num_sample)))
+    # base (pdi=1) block size — the codedelay modulus is ALWAYS the 1 ms
+    # size (reference mods by fs·ms, trackingVT_POS_updated.m:345) even
+    # for 10 ms rows; pass samples_per_ms for exactness (per-block sizes
+    # jitter ±few samples with the code NCO, so an estimate can be off
+    # by 1-2 and delayValue scales that by pdi)
+    if samples_per_ms is None:
+        s0 = float(np.round(np.min(
+            np.percentile(rec.num_sample, 10, axis=0))))
+        pdi = np.clip(np.round(rec.num_sample / s0), 1, None)
+        samples_per_ms = float(np.round(np.median(rec.num_sample / pdi)))
+    s_per_ms = float(samples_per_ms)
+    pdi = np.clip(np.round(rec.num_sample / s_per_ms), 1, None)
     out = np.zeros((1, max_prn), dtype=[
         (n, object) for n in (
             "E_i", "E_q", "P_i", "P_q", "L_i", "L_q", "carrError",
@@ -221,8 +233,10 @@ def save_tck_records_mat(path: str, rec: TrackRecords,
                 absoluteSample=abs_b,
                 absoluteSampleCodedelay=abs_b - cd * bytes_per_sample,
                 codedelay=cd, codedelay2=cd,
+                # delayValue = numSample − Sample·pdi
+                # (trackingCT_POS_updated.m:191)
                 delayValue=(rec.num_sample[:, ch]
-                            - np.round(rec.num_sample[:, ch].mean())))
+                            - s_per_ms * pdi[:, ch]))
         else:
             vals = {}
         for name in out.dtype.names:
@@ -336,6 +350,12 @@ def reconstruct_meas_start(rec: TrackRecords, pdi: np.ndarray,
         target_ms = int(round((tt - tow1[ch]) * 1000.0
                               - cpm / code_length + anchor))
         idx = int(np.searchsorted(ms_elapsed[:, ch], target_ms))
+        if idx >= ms_elapsed.shape[0]:
+            raise ValueError(
+                f"channel {ch}: epoch-0 transmit time implies signal ms "
+                f"{target_ms}, beyond the record's "
+                f"{int(ms_elapsed[-1, ch])} ms — navSol and tckRst "
+                "artifacts are inconsistent (or wrong nav1/sfb1 anchors)")
         step = rec.code_freq[idx, ch] / fs
         cur[ch] = (rec.absolute_sample[idx, ch]
                    + (cpm - rec.rem_chip[idx, ch]) / step)

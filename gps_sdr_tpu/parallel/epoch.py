@@ -18,8 +18,6 @@ rows; weights make padding and gated-out channels exact no-ops.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -79,7 +77,8 @@ def sharded_wls_epoch(mesh: Mesh, n_iter: int = 10):
         diff = state[None, :3] - sv_pos
         rng = jnp.linalg.norm(diff, axis=-1, keepdims=True)
         h = jnp.concatenate([diff / rng, jnp.ones_like(rng)], axis=-1)
-        q = jnp.linalg.inv(jax.lax.psum((w * h).T @ h, AXIS))
+        ata = jax.lax.psum((w * h).T @ h, AXIS)  # shared: DOP + velocity
+        q = jnp.linalg.inv(ata)
         d = jnp.diagonal(q)
         dop = jnp.stack([jnp.sqrt(jnp.trace(q)),
                          jnp.sqrt(d[0] + d[1] + d[2]),
@@ -87,7 +86,6 @@ def sharded_wls_epoch(mesh: Mesh, n_iter: int = 10):
 
         b = jnp.sum(h[:, :3] * sv_vel, axis=-1) - sv_clk_rate
         y0 = doppler_mps - b
-        ata = jax.lax.psum((w * h).T @ h, AXIS)
         aty = jax.lax.psum((w * h).T @ y0, AXIS)
         x = jnp.linalg.solve(ata, aty)
         return state, dop, x[:3], x[3:4]   # drift as (1,): shard_map

@@ -66,10 +66,3 @@ def pad_channels(state: TrackState, chip_tables: jnp.ndarray, mult: int):
     return state, chip_tables, pad
 
 
-def strip_channel_pad(rec_dict: dict, state: TrackState, n_pad: int):
-    """Drop the padded channels from a chunk's records + carry state."""
-    if n_pad == 0:
-        return rec_dict, state
-    rec_dict = {k: v[:, :-n_pad] for k, v in rec_dict.items()}
-    state = TrackState(*[f[:-n_pad] for f in state])
-    return rec_dict, state

@@ -204,7 +204,7 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
     tgd_m = eph.tgd * C_LIGHT
     mu_earth = 3.986005e14  # WGS-84 GM (geo/ephemeris.py MU_EARTH)
 
-    def kepler_refresh(st: VTState):
+    def kepler_refresh(st: VTState, group_len: int):
         """Full-precision geometry once per group head: Kepler solve,
         Sagnac-rotated range, unit line-of-sight, measurement matrix, and
         (on its own cadence) atmosphere.  The inner steps extrapolate SV
@@ -233,9 +233,13 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
                 doy, jnp.rad2deg(llh[0]), llh[2], jnp.rad2deg(el)))
             return iono, tropo, el, az
 
+        # atmosphere refreshes at the group head whose steps contain a
+        # multiple of corr_update_ms — the cadence holds for ANY
+        # group length / chunking, never slower than corr_update_ms + K
+        corr = params.corr_update_ms
+        due = ((corr - st.step_count % corr) % corr) < group_len
         iono, tropo, el, az = jax.lax.cond(
-            st.step_count % params.corr_update_ms == 0,
-            refresh_corr,
+            due, refresh_corr,
             lambda _: (st.iono_m, st.tropo_m, st.el_rad, st.az_rad),
             operand=None)
         st = st._replace(iono_m=iono, tropo_m=tropo, el_rad=el, az_rad=az)
@@ -452,7 +456,7 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
     K = max(1, int(params.kepler_update_ms))
 
     def run_group(st: VTState, n: int):
-        st, cache = kepler_refresh(st)
+        st, cache = kepler_refresh(st, n)
         return jax.lax.scan(lambda s, _: step(s, cache), st, None, length=n)
 
     n_groups, rem = divmod(n_steps, K)

@@ -96,10 +96,17 @@ def gate_mask(gate: np.ndarray, thresh_db: float,
     valid = np.empty((t_len, n_ch), bool)
     cur = np.ones(n_ch, bool)
     enter = thresh_db + reenter_margin_db
-    for t in range(t_len):
-        g = gate[t]
+    # the trigger state is a fixed point under a constant input, so one
+    # application per constant-gate segment equals the per-row recurrence
+    # (the gate series is window-constant: T/20 segments, not T)
+    change = np.ones(t_len, bool)
+    change[1:] = np.any(gate[1:] != gate[:-1], axis=1)
+    starts = np.flatnonzero(change)
+    for i, s0 in enumerate(starts):
+        g = gate[s0]
         cur = np.where(cur, g >= thresh_db, g >= enter)
-        valid[t] = cur
+        end = starts[i + 1] if i + 1 < len(starts) else t_len
+        valid[s0:end] = cur
     return valid
 
 

@@ -113,3 +113,57 @@ def test_vt_pallas_replica_converges():
     assert m_p < m_n + 10.0, (m_p, m_n)
     d = np.linalg.norm(sol.usr_pos - sol_nco.usr_pos, axis=1)
     assert np.median(d[300:]) < 12.0, np.median(d[300:])
+
+
+def test_vt_atmosphere_cadence_any_chunking():
+    """Regression: the iono/tropo/el/az refresh must keep its
+    ~corr_update_ms cadence for ANY chunk length / kepler_update_ms,
+    including combinations where Kepler group heads never land exactly
+    on a multiple of corr_update_ms (the group-head refresh condition
+    tests for a due multiple WITHIN the group)."""
+    import dataclasses as dc
+
+    import numpy as np
+
+    from gps_sdr_tpu.geo.ephemeris import Ephemeris
+    from gps_sdr_tpu.pipeline import Receiver
+    from gps_sdr_tpu.receiver.vt import (VTParams, init_vt_state,
+                                         run_vector_tracking)
+
+    src = scenario.build_scenario_source()
+    rx = Receiver(scenario.CFG, src, artifact_dir=scenario.CACHE_DIR)
+    cfg = scenario.CFG
+    eph, sbf = rx.decode()
+    pos_svs = rx.usable_svs()
+    truth = np.asarray(llh2xyz(np.asarray(scenario.TRUTH_LLH)))
+    init = truth + np.array([3000.0, -2000.0, 1500.0])
+    ct_rec, ct_nav = rx.ct_position(n_ms=4000, init_pos_ecef=init)
+    epoch0 = cfg.file.skiptime_vt_ms // cfg.solu.nav_sol_period_ms - 1
+    # kepler_update_ms=30 does NOT divide corr_update_ms=100, and
+    # chunk_ms=133 shifts every chunk's group phase
+    params = VTParams(kepler_update_ms=30)
+    start_slot, tt0 = {}, np.empty(len(pos_svs))
+    for ch, p in enumerate(pos_svs):
+        first_sf_ms = sbf["nav1"][p] + eph[p].sfb[0] * 20
+        slot = first_sf_ms + cfg.file.skiptime_vt_ms - 1
+        start_slot[ch] = slot
+        tt0[ch] = (eph[p].tow[0] + (slot + 1 - first_sf_ms) / 1000.0
+                   + ct_rec.rem_chip[slot, ch] / cfg.signal.code_freq_basis)
+    state = init_vt_state(cfg, ct_rec, list(range(len(pos_svs))),
+                          start_slot, tt0, ct_nav.usr_pos[epoch0],
+                          ct_nav.usr_vel[epoch0],
+                          float(ct_nav.clk_bias_m[epoch0]),
+                          float(ct_nav.clk_drift_ms[epoch0]), params)
+    eph_struct = Ephemeris(**{
+        k: np.asarray([eph[p].latest(0)[k] for p in pos_svs])
+        for k in Ephemeris._fields})
+    _, sol, _ = run_vector_tracking(rx.source, cfg, pos_svs, eph_struct,
+                                    state, params, 450, init, chunk_ms=133)
+    el = sol.sat_el_deg[:, 0]
+    # refresh fired repeatedly (satellite motion changes el each time);
+    # with the frozen-refresh bug there is exactly one distinct value
+    assert len(np.unique(el)) >= 3, np.unique(el)
+    # and never a gap longer than corr_update_ms + kepler_update_ms
+    change = np.flatnonzero(np.diff(el) != 0)
+    assert change.size >= 2
+    assert np.max(np.diff(change)) <= 130 + 1, np.max(np.diff(change))

@@ -236,6 +236,44 @@ def test_urban_artifacts_load():
     assert np.all(np.median(cn0, axis=0) < 40.0)
 
 
+def test_replay_sharded_epochs_match_reference(golden, replay):
+    """The mesh-sharded WLS epoch solver (psum normal equations over an
+    8-device mesh) replays the reference's 660 golden epochs to within
+    float round-off of the reference's own fixes — multi-device
+    execution at reference parity."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    from gps_sdr_tpu.parallel.mesh import make_mesh
+
+    rec, pdi, eph, sbf, nav_ref = golden
+    nav_host, _ = replay
+    cfg = ReceiverConfig(solu=SolutionConfig(mask_snr_db=0.0))
+    init = np.asarray(llh2xyz(np.asarray(cfg.solu.truth_llh)))
+    tow1 = np.array([eph[p].tow[0] for p in POS_PRNS])
+    nav1 = np.array([sbf["nav1"][p] for p in POS_PRNS])
+    sfb1 = np.array([eph[p].sfb[0] for p in POS_PRNS])
+    cur = matref.reconstruct_meas_start(rec, pdi, nav_ref, tow1, nav1,
+                                        sfb1, cfg.signal.fs)
+    nav = run_ct_positioning(
+        rec, cfg, POS_PRNS, eph, sbf, init, pdi_ms_per_block=pdi,
+        meas_start_sample=float(np.median(cur)),
+        local_time_advance_s=2 * cfg.solu.nav_sol_period_ms / 1000.0,
+        doppler_at_fire_row=True, mesh=make_mesh())
+    assert len(nav.local_time) == 660
+    dp = np.linalg.norm(nav.usr_pos - nav_ref.usr_pos, axis=1)
+    assert dp.max() < 1e-4, dp.max()
+    np.testing.assert_allclose(nav.clk_bias_m, nav_ref.clk_bias_m,
+                               atol=1e-4)
+    np.testing.assert_allclose(nav.dop, nav_ref.dop, atol=1e-7)
+    dv = np.linalg.norm(nav.usr_vel - nav_ref.usr_vel, axis=1)
+    assert dv.max() < 1e-5, dv.max()
+    # and the sharded solver tracks the host solver to round-off
+    dph = np.linalg.norm(nav.usr_pos - nav_host.usr_pos, axis=1)
+    assert dph.max() < 1e-5
+
+
 def test_mat_export_roundtrip(golden, replay, tmp_path):
     """The export side of the `.mat` interop (a reference user keeps
     their MATLAB tooling): records/solutions/eph written in the
@@ -280,6 +318,42 @@ def test_mat_export_roundtrip(golden, replay, tmp_path):
     na = matref.load_nacquired(pa)
     assert list(na["sv"]) == POS_PRNS
     assert list(na["code_delay"]) == [3683, 26051, 2610, 57908, 39064]
+
+
+def test_mat_export_mixed_pdi_conventions():
+    """Exporting a pdi-switched record keeps the reference conventions:
+    codedelay is mod the 1 ms sample count (never the 10 ms block),
+    delayValue is numSample − S·pdi, and the loader recovers the pdi
+    matrix — the opensky_config() export path."""
+    from gps_sdr_tpu.tracking import TrackRecords
+
+    rng = np.random.default_rng(4)
+    T, N, S = 120, 2, 5000
+    pdi = np.where(np.arange(T)[:, None] < np.array([40, 60]), 1, 10)
+    num = pdi * S + rng.integers(-2, 3, size=(T, N))
+    abs_s = 1_000_000 + np.cumsum(num, axis=0).astype(np.float64)
+    rec = TrackRecords(
+        corr=rng.normal(size=(T, N, 3, 2)).astype(np.float32),
+        code_err=rng.normal(size=(T, N)), carr_err=rng.normal(size=(T, N)),
+        code_freq=np.full((T, N), 1.023e6),
+        carr_freq=np.full((T, N), 4.58e6),
+        num_sample=num.astype(np.int64), rem_chip=rng.random((T, N)),
+        rem_phase=rng.random((T, N)), absolute_sample=abs_s)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "t.mat")
+        matref.save_tck_records_mat(p, rec, [3, 16])
+        import scipy.io as sio
+        raw = sio.loadmat(p, squeeze_me=True)["TckResultCT_pos"]
+        for prn, ch in ((3, 0), (16, 1)):
+            cd = np.asarray(raw[prn - 1]["codedelay"], np.float64)
+            assert np.all(cd < S), cd.max()       # mod 1 ms, never 10 ms
+            dv = np.asarray(raw[prn - 1]["delayValue"], np.float64)
+            assert np.all(np.abs(dv) <= 3), np.abs(dv).max()
+        rec2, pdi2 = matref.load_tck_records(p, [3, 16],
+                                             bytes_per_sample=2)
+        np.testing.assert_array_equal(pdi2, pdi)
 
 
 def test_vt_golden_code_nco_law(golden):
