@@ -393,12 +393,27 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     flagship_replica = "pallas" if on_tpu else "shift"
     detail = {"tracking_replica": flagship_replica}
+    def flagship_line(extra_detail):
+        return json.dumps({
+            "metric": "tracking IF samples/s/chip (8-channel E/P/L "
+                      "engine, 58 MHz Opensky shape, fused Pallas "
+                      "correlator)",
+            "value": round(trk_sps, 1),
+            "unit": "samples/s/chip",
+            "vs_baseline": round(trk_sps / 58e6, 3),
+            "detail": extra_detail,
+        })
+
     with prof:
-        # flagship first — the JSON line must survive later overruns
+        # flagship first — and PRINT it immediately so a record exists
+        # even if a later section hits the driver's wall budget (the
+        # round-2 failure recorded nothing); the LAST JSON line printed
+        # is the canonical, most-complete one
         trk_sps, trk_dt = bench_tracking(replica=flagship_replica)
         detail.update(
             tracking_wall_s_1000ms_8ch=round(trk_dt, 4),
             tracking_realtime_factor=round(trk_sps / 58e6, 3))
+        print(flagship_line(dict(detail)), flush=True)
         vt_sps, _ = bench_vt(replica="pallas" if on_tpu else "nco")
         detail.update(vt_ekf_sps_per_chip=round(vt_sps, 0),
                       vt_ekf_realtime_factor=round(vt_sps / 58e6, 2))
@@ -445,14 +460,7 @@ def main():
         detail["acq_shard_overhead_cpu_mesh"] = bench_shard_overhead(
             timeout_s=max(30, int(left())))
 
-    print(json.dumps({
-        "metric": "tracking IF samples/s/chip (8-channel E/P/L engine, "
-                  "58 MHz Opensky shape, fused Pallas correlator)",
-        "value": round(trk_sps, 1),
-        "unit": "samples/s/chip",
-        "vs_baseline": round(trk_sps / 58e6, 3),
-        "detail": detail,
-    }))
+    print(flagship_line(detail), flush=True)
 
 
 if __name__ == "__main__":
