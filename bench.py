@@ -440,7 +440,7 @@ def main():
                 ("vt32", lambda: {
                     "vt_32ch_sps_per_ch_stream": round(bench_vt(
                         n_ch=32, n_steps=500,
-                        replica=flagship_replica)[0], 0)}),
+                        replica="pallas" if on_tpu else "nco")[0], 0)}),
                 ("segmented", lambda: (lambda s, g: {
                     "segmented_small_shape_serial_sps": round(s, 0),
                     "segmented_small_shape_8seg_sps": round(g, 0),

@@ -51,8 +51,33 @@ def _cell(v) -> np.ndarray:
     return np.atleast_1d(v.squeeze())
 
 
+def pdi_from_block_sizes(num_sample: np.ndarray,
+                         samples_per_ms: float | None = None
+                         ) -> Tuple[np.ndarray, float]:
+    """Recover the per-row coherent-integration length (pdi, in ms)
+    from tracked block sizes (T, N) — the single implementation behind
+    the loader, the saver, and Receiver.export_mat.
+
+    With `samples_per_ms` (exact, e.g. cfg.signal.samples_per_ms) the
+    recovery is exact.  Without it, the base (pdi=1) block is estimated
+    as the smallest per-channel 10th-percentile size — robust to later
+    10 ms rows as long as ≥10% of each channel's rows are pdi=1 (NOT
+    guaranteed for long runs past the reference's 1→10 ms switch, which
+    is why callers that know the config must pass it).
+    """
+    if samples_per_ms is None:
+        s0 = float(np.round(np.min(
+            np.percentile(num_sample, 10, axis=0))))
+        pdi0 = np.clip(np.round(num_sample / s0), 1, None)
+        samples_per_ms = float(np.round(np.median(num_sample / pdi0)))
+    s = float(samples_per_ms)
+    pdi = np.clip(np.round(num_sample / s), 1, None).astype(np.int64)
+    return pdi, s
+
+
 def load_tck_records(path: str, prns: Sequence[int],
-                     bytes_per_sample: int = 2
+                     bytes_per_sample: int = 2,
+                     samples_per_ms: float | None = None
                      ) -> Tuple[TrackRecords, np.ndarray]:
     """`tckRstCT_*` → (TrackRecords, pdi_ms (T, N)).
 
@@ -83,13 +108,7 @@ def load_tck_records(path: str, prns: Sequence[int],
         rem_chip=per["remChip"], rem_phase=per["remCarrPhase"],
         absolute_sample=per["absoluteSample"] / bytes_per_sample,
         i_early=0, i_prompt=1, i_late=2)
-    # recover per-row coherent length from the block sizes: the base
-    # (pdi=1) block is the smallest typical per-channel size (the per-
-    # channel 10th percentile is robust to the later 10 ms rows)
-    s_per_ms = float(np.round(np.min(
-        np.percentile(per["numSample"], 10, axis=0))))
-    pdi = np.clip(np.round(per["numSample"] / s_per_ms), 1, None
-                  ).astype(np.int64)
+    pdi, _ = pdi_from_block_sizes(per["numSample"], samples_per_ms)
     return rec, pdi
 
 
@@ -201,13 +220,7 @@ def save_tck_records_mat(path: str, rec: TrackRecords,
     # for 10 ms rows; pass samples_per_ms for exactness (per-block sizes
     # jitter ±few samples with the code NCO, so an estimate can be off
     # by 1-2 and delayValue scales that by pdi)
-    if samples_per_ms is None:
-        s0 = float(np.round(np.min(
-            np.percentile(rec.num_sample, 10, axis=0))))
-        pdi = np.clip(np.round(rec.num_sample / s0), 1, None)
-        samples_per_ms = float(np.round(np.median(rec.num_sample / pdi)))
-    s_per_ms = float(samples_per_ms)
-    pdi = np.clip(np.round(rec.num_sample / s_per_ms), 1, None)
+    pdi, s_per_ms = pdi_from_block_sizes(rec.num_sample, samples_per_ms)
     out = np.zeros((1, max_prn), dtype=[
         (n, object) for n in (
             "E_i", "E_q", "P_i", "P_q", "L_i", "L_q", "carrError",

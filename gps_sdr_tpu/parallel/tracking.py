@@ -14,6 +14,8 @@ unsharded scan, so results are bit-identical at any device count
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -23,6 +25,7 @@ from gps_sdr_tpu.parallel.mesh import AXIS
 from gps_sdr_tpu.tracking import TrackParams, TrackState, track_scan
 
 
+@functools.lru_cache(maxsize=64)
 def sharded_track_scan(mesh: Mesh, params: TrackParams, n_steps: int,
                        fs: float, blk: int, code_freq_basis: float,
                        margin: int = 0, table_ndim: int = 2):
@@ -30,7 +33,13 @@ def sharded_track_scan(mesh: Mesh, params: TrackParams, n_steps: int,
     axis of `state`/`chip_tables` sharded over the mesh.  Channel count
     must be a multiple of the mesh size (see `pad_channels`).
     `table_ndim` is the chip-table rank: 2 for the nco/shift replicas,
-    3 for the pallas (N, rows, 128) layout."""
+    3 for the pallas (N, rows, 128) layout.
+
+    lru_cached on the full static signature (Mesh and the frozen
+    TrackParams are hashable) so repeated `run_tracking` calls in one
+    pipeline run — eph tracking, the 3-phase schedule, positioning —
+    reuse one jitted program per (params, chunk shape) instead of
+    re-jitting the scan every stage."""
 
     def inner(raw, chunk_start, state, chip_tables):
         return track_scan(raw, chunk_start, state, chip_tables, params,

@@ -568,15 +568,15 @@ class Receiver:
             sbf_path=os.path.join(out_dir, f"sbf_{name}.mat"))
         rec, nav = self.ct_position(**(ct_kw or {}))
         from gps_sdr_tpu.utils.metrics import cn0_series
-        # per-row coherent time recovered from the block sizes — the
-        # records carry the per-channel pdi 1→10 ms switch when
-        # ct_pdi_switch_ms is set (e.g. opensky_config), and the C/N0
-        # windows must be normalized by it (utils/metrics note); the
-        # file tag is the final pdi, matching the reference's
-        # tckRstCT_10ms_* naming for the switch configuration
-        s1 = float(np.round(np.min(
-            np.percentile(rec.num_sample, 10, axis=0))))
-        pdi_rows = np.clip(np.round(rec.num_sample / s1), 1, None)
+        # per-row coherent time recovered exactly from the block sizes
+        # and the configured sample rate — the records carry the
+        # per-channel pdi 1→10 ms switch when ct_pdi_switch_ms is set
+        # (e.g. opensky_config), and the C/N0 windows must be normalized
+        # by it (utils/metrics note); the file tag is the final pdi,
+        # matching the reference's tckRstCT_10ms_* naming for the
+        # switch configuration
+        pdi_rows, _ = matref.pdi_from_block_sizes(
+            rec.num_sample, cfg.signal.samples_per_ms)
         cn0 = cn0_series(rec.p_i, rec.p_q, t_coh_s=pdi_rows * 1e-3)
         tag = int(pdi_rows.max())
         matref.save_tck_records_mat(

@@ -400,7 +400,13 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
         S = H @ PHt + jnp.diag(r_used)
         K = jax.scipy.linalg.solve(S, PHt.T, assume_a="pos").T
         err = K @ z
-        P = (jnp.eye(8, dtype=f32) - K @ H) @ P
+        # Joseph-form covariance update: (I−KH)P(I−KH)ᵀ + K·R·Kᵀ stays
+        # positive-semidefinite under f32 round-off, where the plain
+        # (I−KH)P can go indefinite over ~1e4-step runs and poison the
+        # assume_a="pos" solve above (the extra two 8×8 matmuls are
+        # negligible next to the correlators)
+        ikh = jnp.eye(8, dtype=f32) - K @ H
+        P = ikh @ P @ ikh.T + (K * r_used[None, :]) @ K.T
         P = 0.5 * (P + P.T)          # keep symmetric against f32 round-off
         total = st.total_state + err.astype(jnp.float64)
         # propagate to next epoch (…:440-442)

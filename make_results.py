@@ -133,6 +133,16 @@ def golden_replay_results(out_dir: str) -> list:
     plots.plot_channel_dashboard(rec, prns,
                                  os.path.join(sub, "ct_channels.png"))
     err = np.linalg.norm(nav.usr_pos - truth, axis=1)
+    n_rep, n_ref = len(nav.local_time), len(nav_ref.local_time)
+    if n_rep != n_ref:
+        return [
+            "## Real-data replay: the reference's Opensky production run",
+            "",
+            f"**EPOCH-COUNT MISMATCH**: replay produced {n_rep} epochs "
+            f"vs the reference's {n_ref} — investigate before trusting "
+            "this record.",
+            "",
+        ]
     dref = np.linalg.norm(nav.usr_pos - nav_ref.usr_pos, axis=1)
     return [
         "## Real-data replay: the reference's Opensky production run",
@@ -142,7 +152,8 @@ def golden_replay_results(out_dir: str) -> list:
         "(`opensky_golden/` plots; tests/test_golden_mat.py is the CI",
         "version):",
         "",
-        f"- 660/660 epochs reproduced; max position difference vs the",
+        f"- {n_rep}/{n_ref} epochs reproduced; max position difference "
+        "vs the",
         f"  reference's own `navSolCT` fixes: {dref.max():.2e} m",
         "  (transmit times/pseudoranges bit-exact)",
         f"- accuracy vs the surveyed antenna: median "

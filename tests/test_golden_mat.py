@@ -356,6 +356,27 @@ def test_mat_export_mixed_pdi_conventions():
         np.testing.assert_array_equal(pdi2, pdi)
 
 
+def test_pdi_recovery_exact_with_few_1ms_rows():
+    """With the exact samples_per_ms the pdi recovery is exact even when
+    1 ms rows are <10% of the record (a long opensky run past the 1→10 ms
+    switch) — the regime where the percentile heuristic collapses to
+    all-ones and would mis-normalize the exported C/N0 windows."""
+    rng = np.random.default_rng(11)
+    T, N, S = 1500, 3, 5000
+    sw = np.array([60, 80, 100])            # 4-7% of rows at pdi=1
+    pdi = np.where(np.arange(T)[:, None] < sw, 1, 10)
+    num = pdi * S + rng.integers(-2, 3, size=(T, N))
+    got, s = matref.pdi_from_block_sizes(num, samples_per_ms=S)
+    assert s == S
+    np.testing.assert_array_equal(got, pdi)
+    # and the estimator still recovers it when every channel has ≥10%
+    # 1 ms rows (the documented validity condition)
+    pdi2 = np.where(np.arange(300)[:, None] < sw, 1, 10)
+    num2 = pdi2 * S + rng.integers(-2, 3, size=(300, N))
+    got2, _ = matref.pdi_from_block_sizes(num2)
+    np.testing.assert_array_equal(got2, pdi2)
+
+
 def test_vt_golden_code_nco_law(golden):
     """The vector code-NCO law codeFreq = f0·(1 − ΔPr/c)
     (trackingVT_POS_updated.m:221-222) holds row-by-row on the shipped
