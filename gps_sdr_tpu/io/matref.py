@@ -72,6 +72,20 @@ def pdi_from_block_sizes(num_sample: np.ndarray,
         samples_per_ms = float(np.round(np.median(num_sample / pdi0)))
     s = float(samples_per_ms)
     pdi = np.clip(np.round(num_sample / s), 1, None).astype(np.int64)
+    # consistency check: block sizes only wobble by the code-NCO drift
+    # (a few samples per ms of Doppler), so |numSample − pdi·s| beyond
+    # ~1e-4·s per coherent ms means the recovery is wrong (the silent
+    # failure mode of the percentile heuristic when <10% of a channel's
+    # rows are pdi=1 — downstream C/N0 normalization and epoch
+    # interpolation would be corrupted without this guard)
+    resid = np.max(np.abs(num_sample - pdi * s) / pdi)
+    if resid > max(4.0, 2e-4 * s):
+        import warnings
+        warnings.warn(
+            f"pdi_from_block_sizes: residual {resid:.1f} samples/ms vs "
+            f"base block {s:.0f} — the pdi recovery is inconsistent; "
+            "pass the exact samples_per_ms (cfg.signal.samples_per_ms)",
+            stacklevel=2)
     return pdi, s
 
 
@@ -265,9 +279,11 @@ def save_navsol_mat(path: str, nav, var_name: str = "navSolutionsCT"
                     ) -> None:
     """Export NavSolutions as the reference's 14-field `navSolCT_*`
     schema (navSolutionsWLS record, trackingCT_POS_updated.m:533-552).
-    NB the reference's usrVelENU third row is down-positive
-    (…:523-526); this export keeps OUR up-positive convention and MATLAB
-    consumers comparing against reference artifacts must flip it."""
+    The reference's usrVelENU third row is down-positive (its ENU
+    rotation negates the U row, …:523-526); the native NavSolutions
+    carries true up-positive U, so the export flips the third column to
+    match the reference's convention exactly — a MATLAB consumer diffing
+    against reference artifacts sees identical signs."""
     import scipy.io as sio
 
     rec = np.zeros((1, 1), dtype=[(n, object) for n in (
@@ -281,7 +297,7 @@ def save_navsol_mat(path: str, nav, var_name: str = "navSolutionsCT"
     m["usrPosENU"] = nav.usr_pos_enu
     m["usrPosLLH"] = nav.usr_pos_llh
     m["clkBias"] = nav.clk_bias_m.reshape(1, -1)
-    m["usrVelENU"] = nav.usr_vel_enu
+    m["usrVelENU"] = nav.usr_vel_enu * np.array([1.0, 1.0, -1.0])
     m["clkDrift"] = nav.clk_drift_ms.reshape(1, -1)
     m["DOP"] = nav.dop
     m["satEA"] = nav.sat_el_deg
@@ -292,14 +308,11 @@ def save_navsol_mat(path: str, nav, var_name: str = "navSolutionsCT"
     sio.savemat(path, {var_name: rec})
 
 
-def save_eph_mat(path: str, eph: Dict[int, EphemerisRecord],
-                 sbf: Dict[str, Dict[int, int]] | None = None,
-                 max_prn: int = 32, sbf_path: str | None = None) -> None:
-    """Export ephemerides (and optionally sbf) in the reference's
-    `eph_*`/`sbf_*` schemas (ini_eph.m field names: Ω₀ as 'omegae',
-    URA as 'N')."""
-    import scipy.io as sio
-
+def _eph_struct(eph: Dict[int, EphemerisRecord], max_prn: int = 32
+                ) -> np.ndarray:
+    """The 1×max_prn eph struct array in the reference's field layout
+    (shared by save_eph_mat and the navSolVT export, which saves 'eph'
+    alongside the solutions, trackingVT_POS_updated.m:532)."""
     names = list(_EPH_FIELD_MAP) + ["updateflag"]
     out = np.zeros((1, max_prn), dtype=[(n, object) for n in names])
     empty = np.zeros(0)
@@ -310,7 +323,18 @@ def save_eph_mat(path: str, eph: Dict[int, EphemerisRecord],
             out[0, p - 1][mat_name] = v.reshape(1, -1)
         out[0, p - 1]["updateflag"] = np.asarray(
             [[r.updateflag]] if r else [[0]], np.float64)
-    sio.savemat(path, {"eph": out})
+    return out
+
+
+def save_eph_mat(path: str, eph: Dict[int, EphemerisRecord],
+                 sbf: Dict[str, Dict[int, int]] | None = None,
+                 max_prn: int = 32, sbf_path: str | None = None) -> None:
+    """Export ephemerides (and optionally sbf) in the reference's
+    `eph_*`/`sbf_*` schemas (ini_eph.m field names: Ω₀ as 'omegae',
+    URA as 'N')."""
+    import scipy.io as sio
+
+    sio.savemat(path, {"eph": _eph_struct(eph, max_prn)})
     if sbf is not None and sbf_path is not None:
         nav1 = np.zeros((1, max_prn))
         sfb1 = np.zeros((1, max_prn))
@@ -373,3 +397,209 @@ def reconstruct_meas_start(rec: TrackRecords, pdi: np.ndarray,
         cur[ch] = (rec.absolute_sample[idx, ch]
                    + (cpm - rec.rem_chip[idx, ch]) / step)
     return cur
+
+
+# ---------------------------------------------------------------------------
+# VT-stage .mat interop (trackingVT_POS_updated.m:532-533 artifact chain)
+# ---------------------------------------------------------------------------
+
+_VT_TCK_FIELDS = (
+    "E_i", "E_q", "P_i", "P_q", "L_i", "L_q", "amplitude", "navi_data",
+    "navi_dataL035", "carrError", "codeError", "remChip", "remCarrPhase",
+    "codeFreq", "carrFreq", "carrNco", "absoluteSample", "sv_vel",
+    "codedelay", "deltaPr", "prRate")
+
+
+def save_vt_records_mat(path: str, trk, prns: Sequence[int],
+                        max_prn: int = 32, bytes_per_sample: int = 2,
+                        samples_per_ms: int = 58000,
+                        cn0_vt: np.ndarray | None = None,
+                        i_early: int = 0, i_prompt: int = 1,
+                        i_late: int = 2) -> None:
+    """Export VTTrackRecords as the reference's 21-field `tckRstVT_*`
+    schema (TckResultVT record fields at trackingVT_POS_updated.m:324-352,
+    saved with CN0_VT at :533).
+
+    Conventions preserved from the reference's shipped artifact
+    (`tckRstVT_Opensky_updated.mat`):
+    - `absoluteSample` is an ftell BYTE offset (…:344);
+    - `codedelay` = mod(absoluteSample/bytes, Fs·ms) (…:347);
+    - `amplitude`/`navi_data`/`navi_dataL035` are dead fields the
+      reference initializes to 0 and never updates (…:138-140, recorded
+      at :332-334) — exported as zeros, exactly as shipped;
+    - `prRate` is declared (…:142) but never assigned — all-zeros in the
+      shipped record — exported as zeros;
+    - E/P/L are the loop taps (±0.5, 0); the multicorrelator variant's
+      50-series bank is a different file schema this writer does not
+      emit (trackingVT_POS_updated_multicorrelator.m:401-450).
+    `i_early/i_prompt/i_late` select the loop taps out of `trk.corr`
+    (0/1/2 for the 3-tap engine; 4/14/24 for VTParams.multicorr)."""
+    import scipy.io as sio
+
+    rows = {p: i for i, p in enumerate(prns)}
+    T = trk.absolute_sample.shape[0]
+    empty = np.zeros(0)
+    out = np.zeros((1, max_prn),
+                   dtype=[(n, object) for n in _VT_TCK_FIELDS])
+    zeros_t = np.zeros(T)
+    for p in range(1, max_prn + 1):
+        if p in rows:
+            ch = rows[p]
+            abs_b = np.asarray(trk.absolute_sample[:, ch],
+                               np.float64) * bytes_per_sample
+            vals = dict(
+                E_i=trk.corr[:, ch, i_early, 0],
+                E_q=trk.corr[:, ch, i_early, 1],
+                P_i=trk.corr[:, ch, i_prompt, 0],
+                P_q=trk.corr[:, ch, i_prompt, 1],
+                L_i=trk.corr[:, ch, i_late, 0],
+                L_q=trk.corr[:, ch, i_late, 1],
+                amplitude=zeros_t, navi_data=zeros_t,
+                navi_dataL035=zeros_t,
+                carrError=trk.carr_err[:, ch],
+                codeError=trk.code_err[:, ch],
+                remChip=trk.rem_chip[:, ch],
+                remCarrPhase=trk.rem_phase[:, ch],
+                codeFreq=trk.code_freq[:, ch],
+                carrFreq=trk.carr_freq[:, ch],
+                carrNco=trk.carr_nco[:, ch],
+                absoluteSample=abs_b,
+                codedelay=np.mod(abs_b / bytes_per_sample,
+                                 samples_per_ms),
+                deltaPr=trk.delta_pr[:, ch], prRate=zeros_t)
+        else:
+            vals = {}
+        for name in _VT_TCK_FIELDS:
+            if name == "sv_vel":
+                v = (np.asarray(trk.sv_vel[:, rows[p]], np.float64)
+                     if p in rows else np.zeros((0, 3)))
+                out[0, p - 1][name] = v
+            else:
+                out[0, p - 1][name] = np.asarray(
+                    vals.get(name, empty), np.float64).reshape(1, -1)
+    payload = {"TckResultVT": out}
+    if cn0_vt is not None:
+        payload["CN0_VT"] = np.asarray(cn0_vt, np.float64)
+    sio.savemat(path, payload)
+
+
+def load_vt_records(path: str, prns: Sequence[int],
+                    bytes_per_sample: int = 2):
+    """`tckRstVT_*` → (VTTrackRecords, CN0_VT or None).
+
+    Inverse of save_vt_records_mat (also loads the reference's own
+    shipped `tckRstVT_Opensky_updated.mat`).  Fields the schema does not
+    carry are reconstructed or None:
+    - num_sample: diff of absoluteSample (row 0 estimated as
+      round(1023·fs_chips⁻¹) from codeFreq — the schema drops the first
+      block's size, trackingVT_POS_updated.m:164 vs :344);
+    - transmit_time: None (not in the reference schema).
+    """
+    import scipy.io as sio
+
+    m = sio.loadmat(path, squeeze_me=True)
+    t = m["TckResultVT"]
+    scalars = ("E_i", "E_q", "P_i", "P_q", "L_i", "L_q", "carrError",
+               "codeError", "remChip", "remCarrPhase", "codeFreq",
+               "carrFreq", "carrNco", "absoluteSample", "deltaPr")
+    per = {f: np.stack([np.asarray(t[p - 1][f], np.float64)
+                        for p in prns], axis=1) for f in scalars}
+    sv_vel = np.stack([np.asarray(t[p - 1]["sv_vel"], np.float64)
+                       for p in prns], axis=1)          # (T, N, 3)
+    corr = np.stack([
+        np.stack([per["E_i"], per["E_q"]], axis=-1),
+        np.stack([per["P_i"], per["P_q"]], axis=-1),
+        np.stack([per["L_i"], per["L_q"]], axis=-1)], axis=2)
+    abs_s = per["absoluteSample"] / bytes_per_sample
+    num = np.empty_like(abs_s)
+    num[1:] = np.diff(abs_s, axis=0)
+    # first block size is not recoverable from the record (see docstring)
+    num[0] = np.round(1023.0 * np.median(num[1:], axis=0) * 1e-3) * 1e3 \
+        if abs_s.shape[0] > 1 else 0.0
+    from gps_sdr_tpu.receiver.vt import VTTrackRecords
+    trk = VTTrackRecords(
+        corr=corr.astype(np.float32), carr_err=per["carrError"],
+        code_err=per["codeError"], code_freq=per["codeFreq"],
+        carr_freq=per["carrFreq"], delta_pr=per["deltaPr"],
+        num_sample=num.astype(np.int64), absolute_sample=abs_s,
+        transmit_time=None, sv_vel=sv_vel, rem_chip=per["remChip"],
+        rem_phase=per["remCarrPhase"], carr_nco=per["carrNco"])
+    cn0 = np.asarray(m["CN0_VT"], np.float64) if "CN0_VT" in m else None
+    return trk, cn0
+
+
+def save_navsol_vt_mat(path: str, sol, eph=None, max_prn: int = 32,
+                       var_name: str = "navSolutionsVT") -> None:
+    """Export VTSolutions as the reference's `navSolVT_*_updated` schema
+    (navSolutionsVT fields recorded per ms at
+    trackingVT_POS_updated.m:418-437, R at :466, saved with 'eph' at
+    :532).
+
+    Field-by-field mapping from the native record:
+    - state = error_state post-update = K·z (…:398,428);
+    - predicted_z = H·δx, meas_inno = newZ − predicted_z (…:434-435;
+      NB the reference's recordR at :396 is the PRE-fit innovation
+      because the predicted error state is always zero — that is `newZ`);
+    - kalman_gain stored (8, 2N, T) as the reference's (:,:,msIndex);
+    - svxyz_pos stored (N, 3, T);
+    - satePos/sateVel are the reference's loop-variable leak: the LAST
+      channel's values (…:426-427) — reproduced faithfully;
+    - R: one row per adaptive-R update event (rows of r_diag that
+      changed; the reference appends a row only when the update fires,
+      …:445-467);
+    - usrVelENU's U row is flipped to the reference's down-positive
+      convention (…:408-415);
+    - record_correction (NLOS correction) is always zero (…:130,469).
+    """
+    import scipy.io as sio
+
+    T = sol.usr_pos.shape[0]
+    n2 = sol.innovation.shape[1]
+    err_state = np.einsum("tij,tj->ti", sol.kalman_gain, sol.innovation)
+    meas_inno = sol.innovation - sol.predicted_z
+    # adaptive-R event rows
+    changed = np.any(np.diff(sol.r_diag, axis=0) != 0.0, axis=1)
+    r_rows = sol.r_diag[1:][changed] if T > 1 else np.zeros((0, n2))
+    rec = np.zeros((1, 1), dtype=[(n, object) for n in (
+        "localTime", "usrPos", "usrVel", "usrPosENU", "usrVelENU",
+        "usrPosLLH", "clkDrift", "clkBias", "satePos", "sateVel",
+        "state", "svxyz_pos", "kalman_gain", "state_cov", "meas_inno",
+        "newZ", "predicted_z", "satEA", "satAZ", "R",
+        "record_correction")])
+    m = rec[0, 0]
+    m["localTime"] = sol.local_time.reshape(-1, 1)
+    m["usrPos"] = sol.usr_pos
+    m["usrVel"] = sol.usr_vel
+    m["usrPosENU"] = sol.usr_pos_enu
+    m["usrVelENU"] = sol.usr_vel_enu * np.array([1.0, 1.0, -1.0])
+    m["usrPosLLH"] = sol.usr_pos_llh
+    m["clkDrift"] = sol.clk_drift_ms.reshape(-1, 1)
+    m["clkBias"] = sol.clk_bias_m.reshape(-1, 1)
+    m["satePos"] = sol.sv_pos[:, -1, :]
+    m["sateVel"] = np.zeros((T, 3))
+    m["state"] = err_state
+    m["svxyz_pos"] = np.transpose(sol.sv_pos, (1, 2, 0))
+    m["kalman_gain"] = np.transpose(sol.kalman_gain, (1, 2, 0))
+    m["state_cov"] = sol.state_cov_diag
+    m["meas_inno"] = meas_inno
+    m["newZ"] = sol.innovation
+    m["predicted_z"] = sol.predicted_z
+    m["satEA"] = sol.sat_el_deg
+    m["satAZ"] = sol.sat_az_deg
+    m["R"] = r_rows
+    m["record_correction"] = np.zeros((T, n2 // 2))
+    payload = {var_name: rec}
+    if eph is not None:
+        payload["eph"] = _eph_struct(eph, max_prn)
+    sio.savemat(path, payload)
+
+
+def load_navsol_vt(path: str) -> Dict[str, np.ndarray]:
+    """`navSolVT_*` → dict of arrays keyed by the reference field names
+    (kalman_gain / svxyz_pos kept in the reference's (·,·,T) layout)."""
+    import scipy.io as sio
+
+    m = sio.loadmat(path, squeeze_me=True)
+    key = next(k for k in m if k.startswith("navSolutions"))
+    n = m[key]
+    return {f: np.asarray(n[f][()]) for f in n.dtype.names}

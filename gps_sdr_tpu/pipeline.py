@@ -64,8 +64,10 @@ class Receiver:
         sharded over PRNs, tracking shards the channel axis
         (bit-identical records at any device count), and every WLS
         epoch reduces its normal equations with psum
-        (parallel/{acquisition,tracking,epoch}.py).  The VT stage stays
-        single-device — its EKF couples all channels every ms."""
+        (parallel/{acquisition,tracking,epoch}.py), and vector tracking
+        shards its channel axis with the per-ms EKF coupling carried by
+        an all-gather of the measurement rows (parallel/vt.py,
+        bit-identical to single-device)."""
         import jax
 
         self.cfg = cfg
@@ -525,7 +527,7 @@ class Receiver:
             for k in Ephemeris._fields})
         trk, sol, _ = run_vector_tracking(
             self.source, cfg, pos_svs, eph_struct, state, params, n_ms,
-            init_pos_ecef, chunk_ms=chunk_ms)
+            init_pos_ecef, chunk_ms=chunk_ms, mesh=self.mesh)
         if self.dir:
             with open(self._path(stem), "wb") as f:
                 pickle.dump((trk, sol), f)
@@ -543,13 +545,21 @@ class Receiver:
             return self.ct_position_kf(**kw)
         return self.ct_position(**kw)
 
-    def export_mat(self, out_dir: str, ct_kw: Optional[Dict] = None
-                   ) -> None:
+    def export_mat(self, out_dir: str, ct_kw: Optional[Dict] = None,
+                   vt: Optional[bool] = None,
+                   vt_kw: Optional[Dict] = None) -> None:
         """Write the stage artifacts as MATLAB `.mat` files in the
         reference's exact schemas (SDR_main.m's artifact chain:
-        nAcquired / eph / sbf / tckRstCT / navSolCT) so reference users
-        keep their MATLAB tooling.  Loaders in io/matref.py round-trip
-        these (tests/test_golden_mat.py::test_mat_export_roundtrip)."""
+        nAcquired / eph / sbf / tckRstCT / navSolCT, plus
+        tckRstVT / navSolVT when the VT stage runs,
+        trackingVT_POS_updated.m:532-533) so reference users keep their
+        MATLAB tooling.  Loaders in io/matref.py round-trip these
+        (tests/test_golden_mat.py::test_mat_export_roundtrip,
+        tests/test_e2e_vt.py VT round-trip).
+
+        `vt` controls the VT chain: None (default) exports it when the
+        configured mode would run VT (solu.mode == 2 with cmn.vt_enable
+        — SDR_main.m:73's dispatch); True/False forces it."""
         from gps_sdr_tpu.io import matref
 
         os.makedirs(out_dir, exist_ok=True)
@@ -585,6 +595,30 @@ class Receiver:
             cn0_ct=cn0, samples_per_ms=cfg.signal.samples_per_ms)
         matref.save_navsol_mat(
             os.path.join(out_dir, f"navSolCT_{tag}ms_{name}.mat"), nav)
+
+        if vt is None:
+            vt = cfg.solu.mode == 2 and cfg.cmn.vt_enable
+        if vt:
+            vt_trk, vt_sol = self.vt_position(**(vt_kw or {}))
+            multicorr = (vt_kw or {}).get("multicorr",
+                                          cfg.cmn.multicorr_vt)
+            ie, ip, il = (4, 14, 24) if multicorr else (0, 1, 2)
+            # CN0_VT: one row per moment-estimator window — the recorded
+            # per-ms cn0 refreshes every cn0_window blocks, so the fresh
+            # values sit at rows k·W−1 (vt.py refresh_cn0;
+            # trackingVT_POS_updated.m:294-303 fills CN0_VT per window)
+            from gps_sdr_tpu.receiver.vt import VTParams
+            w = VTParams().cn0_window
+            cn0_vt = vt_sol.cn0_dbhz[w - 1::w]
+            matref.save_vt_records_mat(
+                os.path.join(out_dir, f"tckRstVT_{name}_updated.mat"),
+                vt_trk, pos_svs,
+                bytes_per_sample=cfg.file.bytes_per_sample,
+                samples_per_ms=cfg.signal.samples_per_ms,
+                cn0_vt=cn0_vt, i_early=ie, i_prompt=ip, i_late=il)
+            matref.save_navsol_vt_mat(
+                os.path.join(out_dir, f"navSolVT_{name}_updated.mat"),
+                vt_sol, eph={p: eph[p] for p in pos_svs})
 
     def report(self, out_dir: str, vt: bool = True,
                ct_kw: Optional[Dict] = None,

@@ -118,7 +118,12 @@ class VTParams:
                                     # windows; utils/metrics.cn0_series
                                     # gate note); 0 disables
     cn0_window: int = 20            # K of the Zk window (trackingCT.m:120)
-    r_masked: float = 1e12          # R inflation for gated-out channels
+    r_masked: float = 1e8           # R inflation for gated-out channels —
+                                    # an effective no-op deweighting (gain
+                                    # contribution ≲1e-8) kept ≤1e8 so the
+                                    # f32 innovation-covariance solve
+                                    # stays inside f32 conditioning even
+                                    # with r_min=0.01 (cond(S) ≲ 1e10)
     kepler_update_ms: int = 50      # full Kepler cadence: SV pos/vel/clock
                                     # solved every K ms and extrapolated
                                     # along velocity + central-gravity
@@ -163,18 +168,43 @@ class VTParams:
 
 @functools.partial(jax.jit, static_argnames=(
     "params", "n_steps", "fs", "blk", "f_if", "fc", "code_freq_basis",
-    "doy", "margin"))
+    "doy", "margin", "axis_name", "n_real"))
 def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
             iono_alpha, iono_beta, params: VTParams, n_steps: int, fs: float,
             blk: int, f_if: float, fc: float, code_freq_basis: float,
-            doy: int, margin: int = 0):
+            doy: int, margin: int = 0, axis_name: str = None,
+            n_real: int = None):
     """Run `n_steps` ms of vector tracking inside one raw chunk.
 
     params.replica selects the correlator engine: "nco" vmaps the exact
     Q32 replica (raw is (L, 2) pairs, chip_tables (N, 1023)); "pallas"
     runs the fused kernel (raw is (2, L) planes, chip_tables the
-    build_shift_tables_2d layout with its `margin`)."""
-    n_ch = state.ptr.shape[0]
+    build_shift_tables_2d layout with its `margin`).
+
+    `axis_name` (set by parallel/vt.sharded_vt_scan, which wraps this in
+    shard_map) runs the scan with the CHANNEL axis sharded over a device
+    mesh: all per-channel work — correlators, NCOs, scalar PLLs, Kepler,
+    atmosphere — stays device-local, and each step all-gathers only the
+    per-channel measurement contributions (unit line-of-sight rows at
+    the group head; z_pr/z_prr/validity per ms — ~10 floats/channel over
+    ICI) so every device applies the IDENTICAL replicated 8-state EKF
+    update (trackingVT_POS_updated.m:388-404, the coupled update,
+    distributed).  `n_real` is the global channel count before padding
+    (padding channels, appended last, are sliced off the gather so they
+    contribute nothing); results are bit-identical to the single-device
+    scan at any device count (tests/test_mesh_pipeline.py)."""
+    n_ch = state.ptr.shape[0]         # LOCAL channels (global/D if sharded)
+    if axis_name is None:
+        n_real = n_ch
+
+        def gather(x):
+            return x
+    else:
+        if n_real is None:
+            raise ValueError("sharded vt_scan needs n_real")
+
+        def gather(x):
+            return jax.lax.all_gather(x, axis_name, tiled=True)[:n_real]
     taps = jnp.asarray(params.taps, jnp.float64)
     use_pallas = params.replica == "pallas"
     if use_pallas:
@@ -253,21 +283,24 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
         pred_pr_head = r1 + corr_m
         a32 = (diff / r1[:, None]).astype(jnp.float32)   # unit LOS (N,3)
         # measurement matrix (…:374-376): LOS direction changes by
-        # ~|Δ|/r < 10⁻⁵ rad across a group — constant per group
-        H = jnp.zeros((2 * n_ch, 8), jnp.float32)
-        H = H.at[:n_ch, 0:3].set(-a32).at[:n_ch, 6].set(1.0)
-        H = H.at[n_ch:, 3:6].set(-a32).at[n_ch:, 7].set(1.0)
+        # ~|Δ|/r < 10⁻⁵ rad across a group — constant per group.  H is
+        # GLOBAL (all real channels): the sharded path gathers the LOS
+        # rows here, once per group
+        a32_g = gather(a32)
+        H = jnp.zeros((2 * n_real, 8), jnp.float32)
+        H = H.at[:n_real, 0:3].set(-a32_g).at[:n_real, 6].set(1.0)
+        H = H.at[n_real:, 3:6].set(-a32_g).at[n_real:, 7].set(1.0)
         cache = (st.transmit_time, vel0, acc0, sv["clk_rate_ms"],
                  pred_pr_head, a32, est_pos_h, clk_bias_h, H,
                  vel0.astype(jnp.float32), acc0.astype(jnp.float32),
-                 sv["clk_rate_ms"].astype(jnp.float32))
+                 sv["clk_rate_ms"].astype(jnp.float32), pos0)
         return st, cache
 
     f32 = jnp.float32
 
     def step(st: VTState, kcache):
         (tt0, vel0, acc0, sv_clk_rate, pred_pr_head, a32, est_pos_h,
-         clk_bias_h, H, vel0_32, acc0_32, clk_rate_32) = kcache
+         clk_bias_h, H, vel0_32, acc0_32, clk_rate_32, pos0) = kcache
         est_pos = st.total_state[:3]
         est_vel32 = st.total_state[3:6].astype(f32)
         clk_bias = st.total_state[6]
@@ -387,13 +420,16 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
         prr_pred = jnp.sum((est_vel32[None, :] - sv_vel32) * a32, axis=-1)
         z_prr = (prr_pred - prr_meas - clk_drift.astype(f32)
                  + clk_rate_32)
-        z = jnp.concatenate([z_pr, z_prr])                      # (2N,) f32
+        # GLOBAL measurement vector: the sharded path's per-ms collective
+        # — each device contributes its channels' rows and receives all
+        z = jnp.concatenate([gather(z_pr), gather(z_prr)])  # (2N,) f32
 
         # --- EKF predict + update (…:388-404) in f32 (measurement/error
         # magnitudes are metres; the f64 total state only receives the
         # small correction).  Gated-out channels have both measurement
         # rows deweighted by r_masked. ---
-        valid2 = jnp.concatenate([valid, valid])
+        valid_g = gather(valid)
+        valid2 = jnp.concatenate([valid_g, valid_g])
         r_used = jnp.where(valid2, st.r_diag, f32(params.r_masked))
         P = F32 @ st.state_cov @ F32.T + Q32
         PHt = P @ H.T
@@ -419,8 +455,8 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
 
         def update_r(_):
             m = sq / f32(params.r_update_ms)
-            rp = jnp.clip(m[:n_ch] * 10.0, params.r_min, params.r_pr_max)
-            rr_ = jnp.clip(m[n_ch:], params.r_min, params.r_prr_max)
+            rp = jnp.clip(m[:n_real] * 10.0, params.r_min, params.r_pr_max)
+            rr_ = jnp.clip(m[n_real:], params.r_min, params.r_prr_max)
             return jnp.concatenate([rp, rr_]), jnp.zeros_like(sq)
 
         r_diag, sq = jax.lax.cond(
@@ -438,13 +474,33 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
             cn0=cn0, valid=valid)
 
         # common-epoch time for the record (the earliest channel's block
-        # start): tt − (num − min(num) + 1)/fs, as before the H hoist
-        num_min = jnp.min(num2) - 1
-        local_time = jnp.min(tt - (num2 - num_min).astype(jnp.float64) / fs)
+        # start): tt − (num − min(num) + 1)/fs, as before the H hoist;
+        # min over the REAL global channels (gathered when sharded)
+        tt_g, num2_g = gather(tt), gather(num2)
+        num_min = jnp.min(num2_g) - 1
+        local_time = jnp.min(
+            tt_g - (num2_g - num_min).astype(jnp.float64) / fs)
         rec = dict(corr=corr, carr_err=carr_err, code_err=code_err,
                    code_freq=code_freq, carr_freq=carr_freq,
                    delta_pr=delta_pr, num_sample=num2,
                    absolute_sample=st.ptr + num2,
+                   # remaining chip/carrier phase + the PLL NCO value —
+                   # the TckResultVT per-ms fields remChip/remCarrPhase/
+                   # carrNco (trackingVT_POS_updated.m:339-345); phase in
+                   # radians from the Q32 accumulator as tracking.py does
+                   rem_chip=rem_new,
+                   # NB 2^32 literal: the name Q32 is shadowed by the
+                   # process-noise matrix inside this scope
+                   rem_phase=jnp.remainder(
+                       phase_new.astype(jnp.float64)
+                       * (2.0 * jnp.pi / 4294967296.0),
+                       2.0 * jnp.pi),
+                   carr_nco=pll,
+                   # extrapolated SV position (navSolutionsVT.svxyz_pos,
+                   # …:431) and the post-fit predicted measurement H·δx
+                   # (navSolutionsVT.predicted_z/meas_inno, …:433-435)
+                   sv_pos=pos0 + sv_delta32.astype(jnp.float64),
+                   predicted_z=H @ err,
                    total_state=total, state_cov_diag=jnp.diagonal(P),
                    kalman_gain=K, innovation=z, r_diag=r_diag,
                    # per-measurement equivalent loop bandwidth [Hz]:
@@ -479,6 +535,14 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
     return st, recs
 
 
+# scan-record keys that are EKF-layer GLOBAL series (identical on every
+# device when the channel axis is sharded — parallel/vt.py replicates
+# them; everything else is per-channel with the channel on axis 1)
+_VT_REC_GLOBAL = frozenset((
+    "total_state", "state_cov_diag", "kalman_gain", "innovation",
+    "r_diag", "loop_bw_hz", "predicted_z", "local_time"))
+
+
 @dataclasses.dataclass
 class VTSolutions:
     """navSolutionsVT equivalent (…:418-437) — one row per ms."""
@@ -500,6 +564,13 @@ class VTSolutions:
     valid: np.ndarray = None       # (T, N) channels in the EKF update
     loop_bw_hz: np.ndarray = None  # (T, 2N) equivalent loop bandwidth
                                    # (trackingVT_POS_updated_by_20210621.m:384)
+    usr_vel_enu: np.ndarray = None  # (T, 3) ENU velocity at the anchor
+                                    # (up-positive; the reference's
+                                    # usrVelENU U row is down-positive,
+                                    # …:408-415 — flipped at .mat export)
+    predicted_z: np.ndarray = None  # (T, 2N) H·δx post-update (…:435);
+                                    # meas_inno = innovation − predicted_z
+    sv_pos: np.ndarray = None       # (T, N, 3) svxyz_pos (…:431)
 
 
 @dataclasses.dataclass
@@ -516,6 +587,9 @@ class VTTrackRecords:
     absolute_sample: np.ndarray
     transmit_time: np.ndarray
     sv_vel: np.ndarray
+    rem_chip: np.ndarray = None     # (T, N) remChip (…:339)
+    rem_phase: np.ndarray = None    # (T, N) remCarrPhase [rad] (…:340)
+    carr_nco: np.ndarray = None     # (T, N) carrNco (…:343)
 
 
 def init_vt_state(cfg: ReceiverConfig, ct_records: TrackRecords,
@@ -568,9 +642,16 @@ def init_vt_state(cfg: ReceiverConfig, ct_records: TrackRecords,
 def run_vector_tracking(source: IFSampleSource, cfg: ReceiverConfig,
                         prns: Sequence[int], eph_struct: Ephemeris,
                         state: VTState, params: VTParams, n_ms: int,
-                        init_pos_ecef: np.ndarray, chunk_ms: int = 1000
+                        init_pos_ecef: np.ndarray, chunk_ms: int = 1000,
+                        mesh=None
                         ) -> Tuple[VTTrackRecords, VTSolutions, VTState]:
-    """Host driver for the VT scan: chunk the capture, collect records."""
+    """Host driver for the VT scan: chunk the capture, collect records.
+
+    `mesh` (a jax.sharding.Mesh) shards the channel axis over devices
+    (parallel/vt.py): correlators/NCOs/PLLs/Kepler stay per-channel
+    local, the EKF update runs replicated from all-gathered measurement
+    rows — records and solutions are bit-identical to the single-device
+    scan at any device count."""
     from gps_sdr_tpu.tracking import build_shift_tables_2d, resolve_replica
 
     S = cfg.signal.samples_per_ms
@@ -591,6 +672,15 @@ def run_vector_tracking(source: IFSampleSource, cfg: ReceiverConfig,
     alpha = jnp.asarray(cfg.cmn.iono_alpha, jnp.float64)
     beta = jnp.asarray(cfg.cmn.iono_beta, jnp.float64)
 
+    n_real = len(prns)
+    n_pad = 0
+    use_mesh = mesh is not None and getattr(mesh, "size", 1) > 1
+    if use_mesh:
+        from gps_sdr_tpu.parallel.vt import pad_vt_state, sharded_vt_scan
+        state, chip_tables, eph_struct, n_pad = pad_vt_state(
+            state, chip_tables, eph_struct, mesh.size)
+        sharded_fns: Dict[int, object] = {}
+
     import functools
 
     from gps_sdr_tpu.io.ifdata import ChunkPrefetcher
@@ -609,11 +699,28 @@ def run_vector_tracking(source: IFSampleSource, cfg: ReceiverConfig,
             ptr_max = int(np.max(np.asarray(state.ptr)))
             length = (ptr_max - ptr_min) + nb * params.pdi_ms * S + blk + 64
             raw = jnp.asarray(prefetcher.fetch(ptr_min, length))
-            state, rec = vt_scan(raw, jnp.int64(ptr_min), state, chip_tables,
-                                 eph_struct, alpha, beta, params, nb, fs, blk,
-                                 float(cfg.signal.f_if), float(cfg.signal.fc),
-                                 float(cfg.signal.code_freq_basis),
-                                 int(cfg.cmn.day_of_year), margin)
+            if use_mesh:
+                fn = sharded_fns.get(nb)
+                if fn is None:
+                    fn = sharded_vt_scan(
+                        mesh, params, nb, fs, blk,
+                        float(cfg.signal.f_if), float(cfg.signal.fc),
+                        float(cfg.signal.code_freq_basis),
+                        int(cfg.cmn.day_of_year), margin, n_real,
+                        chip_tables.ndim)
+                    sharded_fns[nb] = fn
+                state, rec = fn(raw, jnp.int64(ptr_min), state,
+                                chip_tables, eph_struct, alpha, beta)
+            else:
+                state, rec = vt_scan(
+                    raw, jnp.int64(ptr_min), state, chip_tables,
+                    eph_struct, alpha, beta, params, nb, fs, blk,
+                    float(cfg.signal.f_if), float(cfg.signal.fc),
+                    float(cfg.signal.code_freq_basis),
+                    int(cfg.cmn.day_of_year), margin)
+            if n_pad:
+                rec = {k: (v if k in _VT_REC_GLOBAL else v[:, :n_real])
+                       for k, v in rec.items()}
             nb_next = min(chunk_ms, n_ms - done - nb)
             if nb_next > 0:
                 adv = nb * params.pdi_ms * S
@@ -626,15 +733,27 @@ def run_vector_tracking(source: IFSampleSource, cfg: ReceiverConfig,
             done += nb
     finally:
         prefetcher.close()
+    if n_pad:
+        state = VTState(**{
+            f: (getattr(state, f)
+                if f in ("total_state", "state_cov", "r_diag",
+                         "innov_sq_sum", "step_count")
+                else getattr(state, f)[:n_real])
+            for f in VTState._fields})
     cat = {k: np.concatenate(v) for k, v in recs.items()}
 
     pos = cat["total_state"][:, :3]
-    enu = np.asarray(xyz2enu(pos, np.asarray(init_pos_ecef)))
+    vel = cat["total_state"][:, 3:6]
+    anchor = np.asarray(init_pos_ecef)
+    enu = np.asarray(xyz2enu(pos, anchor))
+    # ENU velocity by rotation at the anchor (the reference rotates at
+    # cnslxyz, trackingVT_POS_updated.m:408-415; up-positive here)
+    vel_enu = np.asarray(xyz2enu(anchor[None, :] + vel, anchor))
     llh = np.asarray(xyz2llh(pos))
     llh = np.stack([np.rad2deg(llh[:, 0]), np.rad2deg(llh[:, 1]),
                     llh[:, 2]], axis=-1)
     sol = VTSolutions(
-        usr_pos=pos, usr_vel=cat["total_state"][:, 3:6],
+        usr_pos=pos, usr_vel=vel,
         usr_pos_enu=enu, usr_pos_llh=llh,
         clk_bias_m=cat["total_state"][:, 6],
         clk_drift_ms=cat["total_state"][:, 7],
@@ -644,11 +763,14 @@ def run_vector_tracking(source: IFSampleSource, cfg: ReceiverConfig,
         r_diag=cat["r_diag"], sat_el_deg=np.rad2deg(cat["el"]),
         sat_az_deg=np.rad2deg(cat["az"]),
         cn0_dbhz=cat["cn0"], valid=cat["valid"],
-        loop_bw_hz=cat["loop_bw_hz"])
+        loop_bw_hz=cat["loop_bw_hz"], usr_vel_enu=vel_enu,
+        predicted_z=cat["predicted_z"], sv_pos=cat["sv_pos"])
     trk = VTTrackRecords(
         corr=cat["corr"], carr_err=cat["carr_err"], code_err=cat["code_err"],
         code_freq=cat["code_freq"], carr_freq=cat["carr_freq"],
         delta_pr=cat["delta_pr"], num_sample=cat["num_sample"],
         absolute_sample=cat["absolute_sample"],
-        transmit_time=cat["transmit_time"], sv_vel=cat["sv_vel"])
+        transmit_time=cat["transmit_time"], sv_vel=cat["sv_vel"],
+        rem_chip=cat["rem_chip"], rem_phase=cat["rem_phase"],
+        carr_nco=cat["carr_nco"])
     return trk, sol, state

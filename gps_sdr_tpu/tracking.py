@@ -545,6 +545,13 @@ def run_tracking(source: IFSampleSource, cfg: ReceiverConfig, prns,
             f"file has {source.n_samples}")
     n_blocks_total = n_ms // params.pdi_ms
     blocks_per_chunk = max(1, chunk_ms // params.pdi_ms)
+    if mesh is not None and per_channel_io:
+        import warnings
+        warnings.warn(
+            "run_tracking: mesh is ignored with per_channel_io=True "
+            "(per-channel raw windows are host-gathered; the sharded "
+            "scan needs one replicated chunk) — running single-device",
+            stacklevel=2)
     use_mesh = (mesh is not None and getattr(mesh, "size", 1) > 1
                 and not per_channel_io)
     n_pad = 0

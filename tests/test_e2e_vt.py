@@ -167,3 +167,83 @@ def test_vt_atmosphere_cadence_any_chunking():
     change = np.flatnonzero(np.diff(el) != 0)
     assert change.size >= 2
     assert np.max(np.diff(change)) <= 130 + 1, np.max(np.diff(change))
+
+
+def test_vt_mat_export_roundtrip(vt_result, tmp_path):
+    """The VT `.mat` interop (trackingVT_POS_updated.m:532-533): records
+    and solutions written in the reference's 21-field TckResultVT /
+    navSolutionsVT schemas round-trip through the loaders — a MATLAB
+    user of the reference can consume this build's VT outputs."""
+    from gps_sdr_tpu.io import matref
+    from tests.scenario import CFG
+
+    trk, sol, _ = vt_result
+    n_ch = trk.code_freq.shape[1]
+    prns = [3, 16, 22, 26, 31][:n_ch]
+
+    p = str(tmp_path / "tckRstVT_test_updated.mat")
+    w = 20
+    cn0 = sol.cn0_dbhz[w - 1::w]
+    matref.save_vt_records_mat(
+        p, trk, prns, bytes_per_sample=CFG.file.bytes_per_sample,
+        samples_per_ms=CFG.signal.samples_per_ms, cn0_vt=cn0)
+    trk2, cn0_2 = matref.load_vt_records(
+        p, prns, bytes_per_sample=CFG.file.bytes_per_sample)
+    np.testing.assert_array_equal(trk2.absolute_sample,
+                                  trk.absolute_sample)
+    np.testing.assert_array_equal(trk2.rem_chip, trk.rem_chip)
+    np.testing.assert_array_equal(trk2.rem_phase, trk.rem_phase)
+    np.testing.assert_array_equal(trk2.code_freq, trk.code_freq)
+    np.testing.assert_array_equal(trk2.carr_freq, trk.carr_freq)
+    np.testing.assert_array_equal(trk2.carr_nco, trk.carr_nco)
+    np.testing.assert_array_equal(trk2.delta_pr, trk.delta_pr)
+    np.testing.assert_allclose(trk2.corr, trk.corr, rtol=1e-6)
+    np.testing.assert_allclose(trk2.sv_vel, trk.sv_vel, rtol=1e-6)
+    # numSample is not a schema field; rows 1: are reconstructed exactly
+    # from the absoluteSample diffs (row 0 is estimated — docstring)
+    np.testing.assert_array_equal(trk2.num_sample[1:], trk.num_sample[1:])
+    np.testing.assert_array_equal(cn0_2, cn0)
+
+    # the schema's internal laws hold on OUR export exactly as they hold
+    # on the reference's shipped artifact (test_golden_mat VT laws):
+    import scipy.io as sio
+    raw = sio.loadmat(p, squeeze_me=True)["TckResultVT"]
+    ch0 = raw[prns[0] - 1]
+    ab = np.asarray(ch0["absoluteSample"], np.float64)
+    cd = np.asarray(ch0["codedelay"], np.float64)
+    np.testing.assert_array_equal(
+        cd, np.mod(ab / CFG.file.bytes_per_sample,
+                   CFG.signal.samples_per_ms))
+    assert np.all(np.asarray(ch0["prRate"], np.float64) == 0.0)
+    assert np.all(np.asarray(ch0["amplitude"], np.float64) == 0.0)
+
+    pn = str(tmp_path / "navSolVT_test_updated.mat")
+    matref.save_navsol_vt_mat(pn, sol)
+    g = matref.load_navsol_vt(pn)
+    np.testing.assert_array_equal(g["usrPos"], sol.usr_pos)
+    np.testing.assert_array_equal(g["usrVel"], sol.usr_vel)
+    np.testing.assert_array_equal(g["clkBias"].reshape(-1),
+                                  sol.clk_bias_m)
+    np.testing.assert_array_equal(g["localTime"].reshape(-1),
+                                  sol.local_time)
+    np.testing.assert_array_equal(g["newZ"], sol.innovation)
+    np.testing.assert_array_equal(g["predicted_z"], sol.predicted_z)
+    np.testing.assert_array_equal(
+        g["meas_inno"], sol.innovation - sol.predicted_z)
+    np.testing.assert_array_equal(g["state_cov"], sol.state_cov_diag)
+    # kalman_gain stored in the reference's (8, 2N, T) layout
+    np.testing.assert_array_equal(
+        np.transpose(g["kalman_gain"], (2, 0, 1)), sol.kalman_gain)
+    np.testing.assert_array_equal(
+        np.transpose(g["svxyz_pos"], (2, 0, 1)), sol.sv_pos)
+    # error_state = K·z (…:398)
+    np.testing.assert_allclose(
+        g["state"],
+        np.einsum("tij,tj->ti", sol.kalman_gain, sol.innovation),
+        rtol=1e-6, atol=1e-12)
+    # the U row is down-positive in the file (reference convention)
+    np.testing.assert_array_equal(g["usrVelENU"][:, 2],
+                                  -sol.usr_vel_enu[:, 2])
+    # adaptive-R event rows only (the reference appends per update)
+    assert g["R"].ndim == 2 and g["R"].shape[1] == sol.innovation.shape[1]
+    assert g["R"].shape[0] <= sol.usr_pos.shape[0] // 200 + 1

@@ -415,3 +415,184 @@ def test_vt_golden_handoff_alignment(golden):
             rec.code_freq[2999, ch], prn
         vt_abs0 = float(np.asarray(v["absoluteSample"])[0]) / 2
         assert vt_abs0 - rec.absolute_sample[2999, ch] == 58000.0, prn
+
+
+@pytest.fixture(scope="module")
+def golden_vt(golden):
+    """Shipped VT record as per-channel arrays + the CT handoff row
+    (the VT run warm-starts from CT row 2999,
+    trackingVT_POS_updated.m:109-132)."""
+    import scipy.io as sio
+
+    rec, _, _, _, _ = golden
+    vt = sio.loadmat(os.path.join(REF, "tckRstVT_Opensky_updated.mat"),
+                     squeeze_me=True)
+    fields = ("P_i", "P_q", "carrError", "codeError", "remChip",
+              "remCarrPhase", "codeFreq", "carrFreq", "carrNco",
+              "absoluteSample", "deltaPr", "codedelay")
+    per = {f: np.stack([np.asarray(vt["TckResultVT"][p - 1][f], np.float64)
+                        for p in POS_PRNS], axis=1) for f in fields}
+    handoff = dict(
+        rem_chip=rec.rem_chip[2999], carr_err=rec.carr_err[2999],
+        carr_freq=rec.carr_freq[2999], rem_phase=rec.rem_phase[2999],
+        abs_sample=rec.absolute_sample[2999])
+    return per, handoff, np.asarray(vt["CN0_VT"], np.float64)
+
+
+def test_vt_golden_numsample_advance_chain(golden_vt):
+    """The absoluteSample advance reproduces the block-length law
+    numSample = ceil((1023·pdi − remChip)/(codeFreq/Fs)) row-by-row for
+    all 5000 ms × 5 channels (trackingVT_POS_updated.m:164-181: the
+    ftell after reading numSample·dataType samples advances by exactly
+    2·numSample bytes) — pinning the entire sample-pointer chain of the
+    reference's production VT run, including the CT→VT handoff block.
+
+    NB block t is sized with codeFreq[t−1]: line 164 runs BEFORE the
+    nav-driven code-frequency prediction at :218-223, so the recorded
+    codeFreq[t] steps the replica but the NEXT block's length (exactly
+    the staggering receiver/vt.py's step docstring notes)."""
+    per, handoff, _ = golden_vt
+    fs = 58e6
+    abs_s = per["absoluteSample"] / 2.0          # bytes → samples
+    num = np.diff(abs_s, axis=0)                 # blocks 1..4999
+    rem_prev = per["remChip"][:-1]
+    law = np.ceil((1023.0 - rem_prev) / (per["codeFreq"][:-1] / fs))
+    np.testing.assert_array_equal(num, law)
+    # handoff block 0: remChip/pointer from CT row 2999; codeFreq[0] IS
+    # the CT handoff frequency (…:219, msIndex==1 branch)
+    num0 = abs_s[0] - handoff["abs_sample"]
+    law0 = np.ceil((1023.0 - handoff["rem_chip"])
+                   / (per["codeFreq"][0] / fs))
+    np.testing.assert_array_equal(num0, law0)
+
+
+def test_vt_golden_remchip_recurrence(golden_vt):
+    """remChip[t] = numSample[t]·(codeFreq[t]/Fs) + remChip[t−1] − 1023
+    (trackingVT_POS_updated.m:284 with the prompt tap at Spacing(15)=0)
+    to float round-off on every row of the shipped record."""
+    per, handoff, _ = golden_vt
+    fs = 58e6
+    abs_s = per["absoluteSample"] / 2.0
+    num = np.diff(abs_s, axis=0)
+    step = per["codeFreq"] / fs
+    law = num * step[1:] + per["remChip"][:-1] - 1023.0
+    np.testing.assert_allclose(per["remChip"][1:], law, atol=1e-9)
+    num0 = abs_s[0] - handoff["abs_sample"]
+    law0 = num0 * step[0] + handoff["rem_chip"] - 1023.0
+    np.testing.assert_allclose(per["remChip"][0], law0, atol=1e-9)
+
+
+def test_vt_golden_carrier_phase_recurrence(golden_vt):
+    """remCarrPhase[t] = rem(2π·carrFreq[t−1]·numSample[t]/Fs
+    + remCarrPhase[t−1], 2π) (trackingVT_POS_updated.m:266-285): the
+    carrier mix at :266 runs BEFORE the PLL update at :309-312, so block
+    t's replica spins at the PREVIOUS row's carrier frequency (the
+    handoff basis for block 0, :117-118).  ~4580 replica cycles per 1 ms
+    block leave ~1e-8 rad of f64 round-off after the modular
+    reduction."""
+    per, handoff, _ = golden_vt
+    fs = 58e6
+    abs_s = per["absoluteSample"] / 2.0
+    num = np.diff(abs_s, axis=0)
+    num0 = abs_s[0] - handoff["abs_sample"]
+    rem_prev = np.concatenate([handoff["rem_phase"][None, :],
+                               per["remCarrPhase"][:-1]])
+    nums = np.concatenate([num0[None, :], num])
+    carr_prev = np.concatenate([handoff["carr_freq"][None, :],
+                                per["carrFreq"][:-1]])
+    law = np.mod(2.0 * np.pi * carr_prev * (nums / fs) + rem_prev,
+                 2.0 * np.pi)
+    err = np.abs(per["remCarrPhase"] - law)
+    err = np.minimum(err, 2.0 * np.pi - err)     # wrap-around at 0/2π
+    assert err.max() < 1e-7, err.max()
+
+
+def test_vt_golden_pll_recurrence(golden_vt):
+    """The scalar-PLL chain reproduces carrNco/carrFreq from carrError
+    row-by-row (trackingVT_POS_updated.m:307-313): carrNco[t] =
+    carrNco[t−1] + (τ₂/τ₁)(carrError[t] − carrError[t−1]) +
+    carrError[t]·(pdi·1e-3/τ₁), with oldCarrNco=0 and oldCarrError from
+    CT row 2999 at the handoff (…:123-124), and carrFreq = carrFreqBasis
+    + carrNco with carrFreqBasis = the CT handoff carrier frequency
+    (…:121) — the complete carrier chain of the production run."""
+    from gps_sdr_tpu.ops.loops import loop_coefficients
+
+    per, handoff, _ = golden_vt
+    tau1, tau2 = loop_coefficients(15.0, 0.707, 0.25)
+    nco_prev = np.concatenate([np.zeros((1, 5)), per["carrNco"][:-1]])
+    err_prev = np.concatenate([handoff["carr_err"][None, :],
+                               per["carrError"][:-1]])
+    law = (nco_prev + (tau2 / tau1) * (per["carrError"] - err_prev)
+           + per["carrError"] * (1e-3 / tau1))
+    np.testing.assert_allclose(per["carrNco"], law, atol=1e-9)
+    basis = per["carrFreq"] - per["carrNco"]
+    np.testing.assert_allclose(basis, handoff["carr_freq"][None, :]
+                               * np.ones((5000, 1)), atol=1e-6)
+
+
+def test_vt_golden_codedelay_and_placeholders(golden_vt):
+    """codedelay = mod(absoluteSample/bytes, Fs·ms)
+    (trackingVT_POS_updated.m:347), and the dead fields the reference
+    never assigns (prRate :142, amplitude/navi_data :138-140) are
+    all-zero in the shipped record — exactly what save_vt_records_mat
+    emits for them."""
+    import scipy.io as sio
+
+    per, _, _ = golden_vt
+    np.testing.assert_array_equal(
+        per["codedelay"], np.mod(per["absoluteSample"] / 2.0, 58000.0))
+    vt = sio.loadmat(os.path.join(REF, "tckRstVT_Opensky_updated.mat"),
+                     squeeze_me=True)["TckResultVT"]
+    for p in POS_PRNS:
+        assert np.all(np.asarray(vt[p - 1]["prRate"], np.float64) == 0)
+        assert np.all(np.asarray(vt[p - 1]["amplitude"], np.float64) == 0)
+        assert np.all(np.asarray(vt[p - 1]["navi_data"], np.float64) == 0)
+
+
+def test_vt_golden_cn0_matches_shipped(golden_vt):
+    """The shipped CN0_VT is the moment-method estimator
+    (trackingVT_POS_updated.m:293-303) INCLUDING MATLAB's
+    complex-arithmetic fallthrough: at 1 ms coherent integration the
+    VT prompts sit near −2 dB post-correlation SNR, so ~40% of windows
+    have E[Z]² < Var[Z]; MATLAB's sqrt goes imaginary and
+    abs(10·log10(complex)) emits a plausible-LOOKING but meaningless
+    value.  The complex-faithful replica matches every one of the 250×5
+    shipped windows to float round-off; our real-valued estimator
+    (which clamps the degenerate moment instead) matches wherever the
+    estimate is physically meaningful."""
+    from gps_sdr_tpu.utils.metrics import cn0_series
+
+    per, _, ref_cn0 = golden_vt
+    pp = per["P_i"] ** 2 + per["P_q"] ** 2
+    zk = pp[:250 * 20].reshape(250, 20, 5)
+    mean_zk = zk.mean(axis=1)
+    var_zk = zk.var(axis=1, ddof=1)
+    na2 = np.sqrt((mean_zk ** 2 - var_zk).astype(complex))
+    var_iq = 0.5 * (mean_zk - na2)
+    ratio = na2 / (2.0 * var_iq) / 1e-3
+    matlab = np.abs(10.0 * np.log10(ratio))
+    assert matlab.shape == ref_cn0.shape == (250, 5)
+    np.testing.assert_allclose(matlab, ref_cn0, atol=1e-6)
+    # the real-moment windows (the meaningful ones) also match our
+    # production estimator
+    ours = cn0_series(per["P_i"], per["P_q"], t_coh_s=1e-3)
+    ok = mean_zk ** 2 > var_zk
+    np.testing.assert_allclose(ours[ok], ref_cn0[ok], atol=1e-6)
+    assert ok.mean() > 0.5  # the majority of windows are meaningful
+
+
+def test_vt_golden_loader_roundtrip(golden_vt):
+    """The VT loader consumes the reference's own shipped artifact and
+    the laws above hold identically on the loaded VTTrackRecords — the
+    import side of the VT .mat interop."""
+    per, _, ref_cn0 = golden_vt
+    trk, cn0 = matref.load_vt_records(
+        os.path.join(REF, "tckRstVT_Opensky_updated.mat"), POS_PRNS)
+    np.testing.assert_array_equal(trk.carr_nco, per["carrNco"])
+    np.testing.assert_array_equal(trk.rem_chip, per["remChip"])
+    np.testing.assert_array_equal(trk.absolute_sample,
+                                  per["absoluteSample"] / 2.0)
+    np.testing.assert_array_equal(cn0, ref_cn0)
+    np.testing.assert_array_equal(
+        trk.num_sample[1:].astype(np.float64),
+        np.diff(per["absoluteSample"] / 2.0, axis=0))

@@ -111,3 +111,99 @@ def test_sharded_epoch_masks_channels(single, meshed):
     np.testing.assert_allclose(dop_s, np.asarray(dop_h), atol=1e-9)
     np.testing.assert_allclose(vel_s, np.asarray(vel_h), atol=1e-8)
     np.testing.assert_allclose(drift_s, float(drift_h), atol=1e-8)
+
+
+@pytest.fixture(scope="module")
+def vt_state(single):
+    """A CT-warm-started VT state + ephemeris struct built once from the
+    shared scenario artifacts (the same handoff construction as
+    pipeline.vt_position)."""
+    from gps_sdr_tpu.geo.coords import llh2xyz
+    from gps_sdr_tpu.geo.ephemeris import Ephemeris
+    from gps_sdr_tpu.receiver.vt import VTParams, init_vt_state
+
+    cfg = scenario.CFG
+    eph, sbf = single.decode()
+    pos_svs = single.usable_svs()
+    truth = np.asarray(llh2xyz(np.asarray(scenario.TRUTH_LLH)))
+    init = truth + np.array([3000.0, -2000.0, 1500.0])
+    ct_rec, ct_nav = single.ct_position(n_ms=4000, init_pos_ecef=init)
+    epoch0 = cfg.file.skiptime_vt_ms // cfg.solu.nav_sol_period_ms - 1
+    params = VTParams()
+    start_slot, tt0 = {}, np.empty(len(pos_svs))
+    for ch, p in enumerate(pos_svs):
+        first_sf_ms = sbf["nav1"][p] + eph[p].sfb[0] * 20
+        slot = first_sf_ms + cfg.file.skiptime_vt_ms - 1
+        start_slot[ch] = slot
+        tt0[ch] = (eph[p].tow[0] + (slot + 1 - first_sf_ms) / 1000.0
+                   + ct_rec.rem_chip[slot, ch] / cfg.signal.code_freq_basis)
+    state = init_vt_state(cfg, ct_rec, list(range(len(pos_svs))),
+                          start_slot, tt0, ct_nav.usr_pos[epoch0],
+                          ct_nav.usr_vel[epoch0],
+                          float(ct_nav.clk_bias_m[epoch0]),
+                          float(ct_nav.clk_drift_ms[epoch0]), params)
+    eph_struct = Ephemeris(**{
+        k: np.asarray([eph[p].latest(0)[k] for p in pos_svs])
+        for k in Ephemeris._fields})
+    return state, eph_struct, params, pos_svs, init, truth
+
+
+def test_sharded_vt_bit_identical(single, vt_state):
+    """Vector tracking with the channel axis sharded over the 8-device
+    mesh (5 channels → 3 padding duplicates; chunked into several scan
+    programs) is BIT-identICAL to the single-device scan: the per-ms EKF
+    coupling is carried by an all-gather of the measurement rows and
+    every device applies the identical replicated update
+    (parallel/vt.py; the VERDICT round-3 'last §2.9 axis')."""
+    import dataclasses as _dc
+
+    from gps_sdr_tpu.receiver.vt import run_vector_tracking
+
+    state, eph_struct, params, pos_svs, init, _ = vt_state
+    kw = dict(n_ms=450, chunk_ms=133)
+    trk0, sol0, st0 = run_vector_tracking(
+        single.source, scenario.CFG, pos_svs, eph_struct, state, params,
+        init_pos_ecef=init, **kw)
+    trkm, solm, stm = run_vector_tracking(
+        single.source, scenario.CFG, pos_svs, eph_struct, state, params,
+        init_pos_ecef=init, mesh=make_mesh(), **kw)
+    for f in _dc.fields(type(trk0)):
+        a, b = getattr(trk0, f.name), getattr(trkm, f.name)
+        if a is not None:
+            np.testing.assert_array_equal(a, b, err_msg=f.name)
+    np.testing.assert_array_equal(sol0.usr_pos, solm.usr_pos)
+    np.testing.assert_array_equal(sol0.usr_vel, solm.usr_vel)
+    np.testing.assert_array_equal(sol0.clk_bias_m, solm.clk_bias_m)
+    np.testing.assert_array_equal(sol0.kalman_gain, solm.kalman_gain)
+    np.testing.assert_array_equal(sol0.innovation, solm.innovation)
+    np.testing.assert_array_equal(sol0.r_diag, solm.r_diag)
+    np.testing.assert_array_equal(sol0.local_time, solm.local_time)
+    np.testing.assert_array_equal(sol0.valid, solm.valid)
+    # cn0 is the one series allowed float round-off: the moment
+    # estimator's mean/var reductions vectorize differently over a
+    # 1-channel shard than over the 5-channel batch
+    np.testing.assert_allclose(sol0.cn0_dbhz, solm.cn0_dbhz,
+                               rtol=0, atol=1e-9)
+    # final carry state identical → any continuation stays identical
+    np.testing.assert_array_equal(np.asarray(st0.total_state),
+                                  np.asarray(stm.total_state))
+    np.testing.assert_array_equal(np.asarray(st0.ptr),
+                                  np.asarray(stm.ptr))
+    np.testing.assert_array_equal(np.asarray(st0.state_cov),
+                                  np.asarray(stm.state_cov))
+
+
+def test_sharded_vt_through_receiver(meshed):
+    """The production pipeline path: Receiver(mesh=...).vt_position runs
+    the sharded VT stage end-to-end (warm start from the sharded CT
+    stage) and holds a physical fix."""
+    from gps_sdr_tpu.geo.coords import llh2xyz
+
+    truth = np.asarray(llh2xyz(np.asarray(scenario.TRUTH_LLH)))
+    init = truth + np.array([3000.0, -2000.0, 1500.0])
+    trk, sol = meshed.vt_position(n_ms=800, ct_n_ms=4000,
+                                  init_pos_ecef=init)
+    assert sol.usr_pos.shape == (800, 3)
+    assert np.all(np.isfinite(sol.innovation))
+    err = np.linalg.norm(sol.usr_pos[300:] - truth, axis=1)
+    assert np.median(err) < 45.0, np.median(err)

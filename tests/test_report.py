@@ -59,11 +59,28 @@ def test_export_mat_reference_schemas(tmp_path):
     rx.track_for_eph(n_ms=scenario.DURATION_MS - 200)
     rx.decode(start_offset_ms=200)
     out = str(tmp_path / "mat")
-    rx.export_mat(out, ct_kw=dict(n_ms=4000, init_pos_ecef=INIT))
+    rx.export_mat(out, ct_kw=dict(n_ms=4000, init_pos_ecef=INIT),
+                  vt_kw=dict(n_ms=1500, ct_n_ms=4000,
+                             init_pos_ecef=INIT))
     files = sorted(os.listdir(out))
+    # the scenario config runs VT (solu.mode=2 + vt_enable), so the VT
+    # artifact chain is exported alongside the CT chain
+    # (trackingVT_POS_updated.m:532-533)
     assert files == ["eph_geo_scn.mat", "nAcquired_geo_scn_0.mat",
-                     "navSolCT_1ms_geo_scn.mat", "sbf_geo_scn.mat",
-                     "tckRstCT_1ms_geo_scn.mat"]
+                     "navSolCT_1ms_geo_scn.mat",
+                     "navSolVT_geo_scn_updated.mat", "sbf_geo_scn.mat",
+                     "tckRstCT_1ms_geo_scn.mat",
+                     "tckRstVT_geo_scn_updated.mat"]
+    vt_trk, cn0_vt = matref.load_vt_records(
+        os.path.join(out, "tckRstVT_geo_scn_updated.mat"),
+        list(scenario.SCN_PRNS),
+        bytes_per_sample=scenario.CFG.file.bytes_per_sample)
+    assert vt_trk.absolute_sample.shape == (1500, 5)
+    assert cn0_vt.shape == (75, 5)
+    g = matref.load_navsol_vt(
+        os.path.join(out, "navSolVT_geo_scn_updated.mat"))
+    assert g["usrPos"].shape == (1500, 3)
+    assert g["kalman_gain"].shape == (8, 10, 1500)
     prns = list(scenario.SCN_PRNS)
     rec, pdi = matref.load_tck_records(
         os.path.join(out, "tckRstCT_1ms_geo_scn.mat"), prns,
