@@ -10,10 +10,13 @@ fine-Doppler long FFT, i.e. the whole cold-start latency), 8-way
 time-segmented tracking, and the sharding overhead of the mesh
 acquisition grid measured on a virtual 8-device CPU mesh.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
-`vs_baseline` is the real-time factor (value / 58e6): the reference
-MATLAB receiver publishes no throughput numbers (BASELINE.md), so 1.0x
-real-time is the reference point.
+Every stage prints its own JSON line {"metric", "value", "unit",
+"vs_baseline"} the moment it is measured, so a wall-budget kill still
+leaves the completed stages on record; the LAST line printed — the
+flagship tracking line with the full detail dict — is the canonical
+one.  `vs_baseline` is the real-time factor (value / 58e6): the
+reference MATLAB receiver publishes no throughput numbers
+(BASELINE.md), so 1.0x real-time is the reference point.
 
 `--profile DIR` wraps the measured runs in a jax.profiler trace
 (SURVEY.md §5 tracing row).
@@ -309,6 +312,141 @@ def bench_segmented(n_ch: int = 2, n_segments: int = 8, n_ms: int = 8000,
     return work / t_serial, work / t_seg
 
 
+def bench_scaling_curve(timeout_s: int = 900):
+    """Scaling-efficiency methodology numbers for BASELINE.md's ≥80%
+    multi-host target, measured on the virtual 8-device CPU mesh (the
+    only mesh available here — see the caveat in the result).
+
+    A true weak-scaling curve needs D independent compute resources;
+    virtual devices PARTITION the host's cores, so growing the work D×
+    trivially costs D× wall.  What the virtual mesh CAN measure is the
+    efficiency of the sharding machinery itself: the same total problem
+    (2·D PRNs / 2·D channels) run unsharded (one device, full intra-op
+    threading) vs sharded over D devices — efficiency(D) =
+    t_unsharded / t_sharded.  ≈1.0 means shard_map partitioning +
+    collectives + layout lose nothing against XLA's own threading of
+    the identical work; that is the controllable part of the ≥80%
+    target (the rest — ICI bandwidth, per-chip overlap — needs real
+    chips and is not measurable here)."""
+    code = r"""
+import json, time
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from gps_sdr_tpu.acquisition import acquisition_power_grid_real, next_pow2
+from gps_sdr_tpu.parallel import make_mesh, sharded_acquisition_power_real
+from gps_sdr_tpu.config import FileConfig, ReceiverConfig, SignalConfig
+from gps_sdr_tpu.parallel.tracking import pad_channels, sharded_track_scan
+from gps_sdr_tpu.tracking import (TrackParams, build_shift_tables,
+                                  init_track_state, track_scan)
+
+out = {}
+S, B, F = 8192, 4, 9
+fft_len = next_pow2(2 * S)
+rng = np.random.default_rng(0)
+blocks = jnp.asarray(rng.normal(size=(B, 2 * S, 2)).astype(np.float32))
+carr = jnp.asarray(rng.normal(size=(F, 2 * S, 2)).astype(np.float32))
+
+
+def timed(fn, fetch):
+    np.asarray(fetch(fn()))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        r = fn()
+    np.asarray(fetch(r))
+    return (time.perf_counter() - t0) / 3
+
+
+# --- sharded acquisition grid: same 2·D-PRN problem, unsharded vs
+# sharded over D devices ---
+acq = {}
+for d in (1, 2, 4, 8):
+    P = 2 * d
+    cf = np.fft.fft(rng.choice([-1.0, 1.0], size=(P, S)), n=fft_len)
+    code = jnp.asarray(np.stack([cf.real, cf.imag], -1).astype(np.float32))
+    t_un = timed(lambda: acquisition_power_grid_real(
+        blocks, carr, code, fft_len, S), lambda r: r[0, 0, 0])
+    fn = sharded_acquisition_power_real(make_mesh(d))
+    t_sh = timed(lambda: fn(blocks, carr, code, fft_len, S),
+                 lambda r: r[0, 0, 0])
+    acq[d] = (t_un, t_sh)
+out["acq_t_unsharded_s"] = {d: round(v[0], 4) for d, v in acq.items()}
+out["acq_t_sharded_s"] = {d: round(v[1], 4) for d, v in acq.items()}
+out["acq_shard_efficiency"] = {d: round(v[0] / v[1], 3)
+                               for d, v in acq.items()}
+# virtual CPU devices execute their programs SERIALLY, so for a
+# compute-dense stage t_sharded ~ sum of per-device walls; t_sharded/D
+# is the concurrent-execution bound a real D-chip mesh would see
+out["acq_t_sharded_per_device_s"] = {d: round(v[1] / d, 4)
+                                     for d, v in acq.items()}
+out["acq_concurrent_bound_efficiency"] = {
+    d: round(v[0] / (v[1] / d), 3) for d, v in acq.items()}
+
+# --- channel-sharded tracking: same 2·D-channel scan, unsharded vs
+# sharded over D devices ---
+cfg = ReceiverConfig(file=FileConfig(skip_ms=0),
+                     signal=SignalConfig(f_if=2.5e5, fs=1.023e6))
+Sms = cfg.signal.samples_per_ms
+blk = -(-(Sms + 256) // 128) * 128
+params = TrackParams.epl(cfg, replica="shift")
+n_steps = 200
+raw = jnp.asarray(rng.integers(
+    -64, 64, size=((n_steps + 2) * Sms + blk, 2)).astype(np.float32))
+trk = {}
+for d in (1, 2, 4, 8):
+    n_ch = 2 * d
+    prns = list(range(1, n_ch + 1))
+    tables, margin = build_shift_tables(cfg, prns, blk)
+    st = init_track_state(cfg, np.zeros(n_ch, np.int64),
+                          np.full(n_ch, cfg.signal.f_if + 1000.0))
+    st = st._replace(ptr=jnp.zeros(n_ch, jnp.int64))
+    tab = jnp.asarray(tables)
+    t_un = timed(lambda: track_scan(
+        raw, jnp.int64(0), st, tab, params, n_steps,
+        float(cfg.signal.fs), blk, float(cfg.signal.code_freq_basis),
+        margin), lambda r: r[1]["corr"][0, 0])
+    mesh = make_mesh(d)
+    stp, tabp, _ = pad_channels(st, tab, mesh.size)
+    fn = sharded_track_scan(mesh, params, n_steps, float(cfg.signal.fs),
+                            blk, float(cfg.signal.code_freq_basis),
+                            margin, 2)
+    t_sh = timed(lambda: fn(raw, jnp.int64(0), stp, tabp),
+                 lambda r: r[1]["corr"][0, 0])
+    trk[d] = (t_un, t_sh)
+out["track_t_unsharded_s"] = {d: round(v[0], 4) for d, v in trk.items()}
+out["track_t_sharded_s"] = {d: round(v[1], 4) for d, v in trk.items()}
+out["track_shard_efficiency"] = {d: round(v[0] / v[1], 3)
+                                 for d, v in trk.items()}
+out["note"] = ("efficiency = t_unsharded/t_sharded for the SAME 2D-PRN/"
+               "2D-channel problem on a virtual 8-device CPU mesh; "
+               "virtual devices run their programs serially, so two "
+               "regimes appear: the scan-dominated tracking stage "
+               "(which XLA cannot intra-op-thread) GAINS from channel "
+               "sharding (efficiency ~0.85-1.35), while the FFT-dense "
+               "acquisition grid (already fully threaded unsharded) "
+               "shows the serialization artifact — its "
+               "concurrent-bound column (t_sharded/D, what D real "
+               "chips executing concurrently would see) is ~1.0+, i.e. "
+               "the partitioning itself loses nothing.  This pins the "
+               "controllable part of the >=80% multi-host target; ICI "
+               "bandwidth and real-chip overlap remain unmeasured here")
+print(json.dumps(out))
+"""
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                          + " --xla_force_host_platform_device_count=8"),
+               PYTHONPATH=os.path.dirname(os.path.abspath(__file__))
+               + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    try:
+        out = subprocess.run([sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True,
+                             timeout=timeout_s)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception as e:  # never fail the bench over the probe
+        return {"error": str(e)[:300]}
+
+
 def bench_shard_overhead(timeout_s: int = 900):
     """Sharding cost probe for the mesh acquisition grid on a virtual
     8-device CPU mesh.  Virtual devices share (and partition) the host
@@ -369,16 +507,19 @@ def main():
                     help="write a jax.profiler trace to this directory")
     ap.add_argument("--full", action="store_true",
                     help="also run the secondary suite (shift baseline, "
-                         "32-channel, 25-tap multicorrelator, segmented "
-                         "tracking, acquisition grid, CPU-mesh shard "
-                         "probe); default runs only the flagship tracking "
-                         "+ VT measurements so the whole bench fits the "
-                         "driver budget (round-2 lesson: the full suite "
-                         "grew past it and recorded nothing)")
-    ap.add_argument("--budget-s", type=float, default=420.0,
-                    help="soft wall budget for --full extras: each extra "
-                         "section is skipped once the elapsed wall time "
-                         "exceeds this")
+                         "VT nco replica, 32-channel VT, segmented "
+                         "tracking, CPU-mesh shard probe + scaling "
+                         "curve); the default suite already measures the "
+                         "flagship tracking, VT, 25-tap multicorrelator, "
+                         "32-channel tracking, and the full acquisition "
+                         "search within the wall budget")
+    ap.add_argument("--budget-s", type=float, default=900.0,
+                    help="soft wall budget: each stage after the "
+                         "flagship is skipped once the elapsed wall time "
+                         "exceeds this (every completed stage has "
+                         "already printed its own JSON line, so a "
+                         "budget kill still leaves the measured stages "
+                         "on record — the round-2 lesson)")
     args = ap.parse_args()
     t_start = time.perf_counter()
     _warm_backend()
@@ -392,7 +533,9 @@ def main():
     import jax
     on_tpu = jax.default_backend() == "tpu"
     flagship_replica = "pallas" if on_tpu else "shift"
+    vt_replica = "pallas" if on_tpu else "nco"
     detail = {"tracking_replica": flagship_replica}
+
     def flagship_line(extra_detail):
         return json.dumps({
             "metric": "tracking IF samples/s/chip (8-channel E/P/L "
@@ -404,60 +547,94 @@ def main():
             "detail": extra_detail,
         })
 
+    def stage_line(metric, value, unit, vs_baseline):
+        print(json.dumps({"metric": metric, "value": value, "unit": unit,
+                          "vs_baseline": vs_baseline}), flush=True)
+
+    def left():
+        return args.budget_s - (time.perf_counter() - t_start)
+
+    # each stage measures, UPDATES the detail dict, and prints its own
+    # JSON line immediately — whatever completes is on record even if a
+    # later stage hits the driver's wall budget; the LAST line printed
+    # (the flagship line with the full detail dict) is the canonical one
+    def stage_vt():
+        vt_sps, _ = bench_vt(replica=vt_replica)
+        detail.update(vt_ekf_sps_per_chip=round(vt_sps, 0),
+                      vt_ekf_realtime_factor=round(vt_sps / 58e6, 2))
+        stage_line("vector tracking IF samples/s/chip (8-channel VDFLL: "
+                   "correlators + Kepler + atmosphere + 8-state EKF)",
+                   round(vt_sps, 0), "samples/s/chip",
+                   round(vt_sps / 58e6, 2))
+
+    def stage_multicorr():
+        sps, _ = bench_tracking(n_steps=300, replica=flagship_replica,
+                                multicorr=True)
+        detail["tracking_multicorr25_sps"] = round(sps, 0)
+        stage_line("tracking IF samples/s/chip (25-tap multicorrelator "
+                   "bank, 8 channels)", round(sps, 0), "samples/s/chip",
+                   round(sps / 58e6, 2))
+
+    def stage_32ch():
+        sps, _ = bench_tracking(n_ch=32, replica=flagship_replica)
+        detail["tracking_32ch_sps_per_ch_stream"] = round(sps, 0)
+        detail["tracking_32ch_channel_samples_per_s"] = round(32 * sps, 0)
+        stage_line("tracking channel-samples/s/chip (32 channels x "
+                   "per-channel stream rate)", round(32 * sps, 0),
+                   "channel-samples/s/chip", round(sps / 58e6, 2))
+
+    def stage_acquisition():
+        d = bench_acquisition()
+        detail.update(d)
+        stage_line("acquisition cold-start latency (32 PRN x 41 Doppler "
+                   "x 20 ms grid + 8-SV fine Doppler)",
+                   d["acq_total_wall_s"], "s",
+                   round(0.02 / max(d["acq_grid_wall_s"], 1e-9), 4))
+
+    def stage_shift():
+        detail["tracking_shift_replica_sps"] = round(
+            bench_tracking(replica="shift")[0], 0)
+
+    def stage_vt_nco():
+        detail["vt_nco_replica_sps"] = round(
+            bench_vt(replica="nco")[0], 0)
+
+    def stage_vt32():
+        detail["vt_32ch_sps_per_ch_stream"] = round(
+            bench_vt(n_ch=32, n_steps=500, replica=vt_replica)[0], 0)
+
+    def stage_segmented():
+        s, g = bench_segmented()
+        detail.update(segmented_small_shape_serial_sps=round(s, 0),
+                      segmented_small_shape_8seg_sps=round(g, 0),
+                      segmented_small_shape_speedup=round(g / s, 2))
+
     with prof:
-        # flagship first — and PRINT it immediately so a record exists
-        # even if a later section hits the driver's wall budget (the
-        # round-2 failure recorded nothing); the LAST JSON line printed
-        # is the canonical, most-complete one
         trk_sps, trk_dt = bench_tracking(replica=flagship_replica)
         detail.update(
             tracking_wall_s_1000ms_8ch=round(trk_dt, 4),
             tracking_realtime_factor=round(trk_sps / 58e6, 3))
         print(flagship_line(dict(detail)), flush=True)
-        vt_sps, _ = bench_vt(replica="pallas" if on_tpu else "nco")
-        detail.update(vt_ekf_sps_per_chip=round(vt_sps, 0),
-                      vt_ekf_realtime_factor=round(vt_sps / 58e6, 2))
 
-        def left():
-            return args.budget_s - (time.perf_counter() - t_start)
-
+        stages = [("vt", stage_vt), ("acquisition", stage_acquisition),
+                  ("multicorr", stage_multicorr), ("32ch", stage_32ch)]
         if args.full:
-            extras = [
-                ("shift", lambda: {
-                    "tracking_shift_replica_sps":
-                        round(bench_tracking(replica="shift")[0], 0)}),
-                ("32ch", lambda: {
-                    "tracking_32ch_sps_per_ch_stream": round(
-                        bench_tracking(n_ch=32,
-                                       replica=flagship_replica)[0], 0)}),
-                ("multicorr", lambda: {
-                    "tracking_multicorr25_sps": round(bench_tracking(
-                        n_steps=300, replica=flagship_replica,
-                        multicorr=True)[0], 0)}),
-                ("vt_nco", lambda: {
-                    "vt_nco_replica_sps": round(bench_vt(
-                        replica="nco")[0], 0)}),
-                ("vt32", lambda: {
-                    "vt_32ch_sps_per_ch_stream": round(bench_vt(
-                        n_ch=32, n_steps=500,
-                        replica="pallas" if on_tpu else "nco")[0], 0)}),
-                ("segmented", lambda: (lambda s, g: {
-                    "segmented_small_shape_serial_sps": round(s, 0),
-                    "segmented_small_shape_8seg_sps": round(g, 0),
-                    "segmented_small_shape_speedup": round(g / s, 2)})(
-                    *bench_segmented())),
-                ("acquisition", bench_acquisition),
-            ]
-            for name, fn in extras:
-                if left() <= 0:
-                    detail[f"skipped_{name}"] = "budget exhausted"
-                    continue
-                try:
-                    detail.update(fn())
-                except Exception as e:
-                    detail[f"error_{name}"] = str(e)[:200]
+            stages += [("shift", stage_shift), ("vt_nco", stage_vt_nco),
+                       ("vt32", stage_vt32),
+                       ("segmented", stage_segmented)]
+        for name, fn in stages:
+            if left() <= 0:
+                detail[f"skipped_{name}"] = "budget exhausted"
+                continue
+            try:
+                fn()
+            except Exception as e:
+                detail[f"error_{name}"] = str(e)[:200]
     if args.full and left() > 0:
         detail["acq_shard_overhead_cpu_mesh"] = bench_shard_overhead(
+            timeout_s=max(30, int(left())))
+    if args.full and left() > 0:
+        detail["shard_scaling_cpu_mesh"] = bench_scaling_curve(
             timeout_s=max(30, int(left())))
 
     print(flagship_line(detail), flush=True)

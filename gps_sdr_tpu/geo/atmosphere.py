@@ -10,6 +10,7 @@ live inside the jitted VT scan.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from gps_sdr_tpu.geo.coords import xyz2llh, xyz2enu
@@ -17,6 +18,7 @@ from gps_sdr_tpu.geo.coords import xyz2llh, xyz2enu
 C_LIGHT = 299_792_458.0
 
 
+@jax.jit
 def klobuchar_delay(gps_tow_s, sv_xyz, usr_xyz, alpha, beta):
     """Klobuchar ionospheric group delay [m].
 
@@ -111,6 +113,7 @@ def tropo_hopfield_delay(el_deg, h_m=0.0):
     return kd / jnp.sin(jnp.sqrt(el * el + 1.904e-3))
 
 
+@jax.jit
 def tropo_unb3_delay(doy, lat_deg, alt_m, el_deg):
     """UNB3 tropospheric delay [m]: Saastamoinen zenith × Black&Eisner map.
 

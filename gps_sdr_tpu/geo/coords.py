@@ -9,6 +9,7 @@ package-wide, so host-precision float64 is preserved).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 WGS84_A = 6378137.0
@@ -16,6 +17,7 @@ WGS84_B = 6356752.3142
 WGS84_F = 1.0 / 298.257223563
 
 
+@jax.jit
 def xyz2llh(xyz):
     """ECEF (…,3) [m] → (lat rad, lon rad, height m) (…,3).
 
@@ -53,6 +55,7 @@ def xyz2llh(xyz):
     return jnp.stack([lat, lon, height], axis=-1)
 
 
+@jax.jit
 def llh2xyz(llh):
     """(lat rad, lon rad, height m) (…,3) → ECEF (…,3) [m] (geo/llh2xyz.m)."""
     llh = jnp.asarray(llh, dtype=jnp.float64)
@@ -78,6 +81,7 @@ def enu_rotation(org_llh):
     ], axis=-2)
 
 
+@jax.jit
 def xyz2enu(xyz, org_xyz):
     """ECEF point → ENU relative to ECEF origin (geo/xyz2enu.m)."""
     xyz = jnp.asarray(xyz, dtype=jnp.float64)
@@ -94,6 +98,7 @@ def enu2xyz(enu, org_xyz):
     return org + jnp.einsum("...ji,...j->...i", R, enu)
 
 
+@jax.jit
 def elevation_azimuth(sv_xyz, usr_xyz):
     """(elevation rad, azimuth rad) of SV seen from user.
 

@@ -2,12 +2,14 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 OMEGA_E = 7.2921151467e-5
 C_LIGHT = 299_792_458.0
 
 
+@jax.jit
 def earth_rotation_correction(sv_xyz, pseudorange_m):
     """Rotate SV ECEF position by ωe·pr/c about z (erotcorr.m:28-35).
 

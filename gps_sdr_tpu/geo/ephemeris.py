@@ -65,6 +65,7 @@ def _wrap_week(t):
     return jnp.mod(t + WEEK_SECONDS / 2, WEEK_SECONDS) - WEEK_SECONDS / 2
 
 
+@jax.jit
 def sv_pos_vel_clock(eph: Ephemeris, t):
     """SV ECEF position, velocity, and clock at transmit time `t` (s of week).
 
