@@ -55,7 +55,8 @@ def bench_acquisition(reps: int = 3):
 
     from gps_sdr_tpu.acquisition import (acquisition_power_grid,
                                          acquisition_power_grid_real,
-                                         doppler_carriers, fine_doppler,
+                                         doppler_carriers,
+                                         fine_doppler_batch,
                                          next_pow2, sampled_codes, _use_pow2)
     from gps_sdr_tpu.config import ReceiverConfig
 
@@ -106,15 +107,19 @@ def bench_acquisition(reps: int = 3):
                 + 1j * rng.integers(-64, 64,
                                     size=(cfg.acq.fine_fft_ms + 1) * S)
                 ).astype(np.complex64)
+    golden = ((3, 4, 16, 22, 26, 27, 31, 32),
+              (3683, 12701, 26051, 2610, 57908, 49778, 39064, 20170))
     t0 = time.perf_counter()
-    for prn, delay in zip((3, 4, 16, 22, 26, 27, 31, 32),
-                          (3683, 12701, 26051, 2610, 57908, 49778,
-                           39064, 20170)):
-        fine_doppler(long_raw, prn, delay, cfg)
-    fine_dt = time.perf_counter() - t0
+    fine_doppler_batch(long_raw, golden[0], golden[1], cfg)
+    fine_dt = time.perf_counter() - t0       # cold: includes compile
+    t0 = time.perf_counter()
+    fine_doppler_batch(long_raw, golden[0], golden[1], cfg)
+    fine_warm = time.perf_counter() - t0     # steady-state (cached jit)
     return dict(acq_grid_wall_s=round(grid_dt, 4),
                 acq_fine_doppler_8sv_wall_s=round(fine_dt, 4),
+                acq_fine_doppler_8sv_warm_s=round(fine_warm, 4),
                 acq_total_wall_s=round(grid_dt + fine_dt, 4),
+                acq_total_warm_s=round(grid_dt + fine_warm, 4),
                 acq_grid_cells_per_s=round(32 * F * B * S / grid_dt, 0))
 
 
@@ -586,9 +591,9 @@ def main():
     def stage_acquisition():
         d = bench_acquisition()
         detail.update(d)
-        stage_line("acquisition cold-start latency (32 PRN x 41 Doppler "
-                   "x 20 ms grid + 8-SV fine Doppler)",
-                   d["acq_total_wall_s"], "s",
+        stage_line("acquisition latency, warm programs (32 PRN x 41 "
+                   "Doppler x 20 ms grid + batched 8-SV fine Doppler)",
+                   d["acq_total_warm_s"], "s",
                    round(0.02 / max(d["acq_grid_wall_s"], 1e-9), 4))
 
     def stage_shift():
@@ -633,9 +638,14 @@ def main():
     if args.full and left() > 0:
         detail["acq_shard_overhead_cpu_mesh"] = bench_shard_overhead(
             timeout_s=max(30, int(left())))
-    if args.full and left() > 0:
+    # the scaling probe runs in the DEFAULT suite (BASELINE.md's ≥80%
+    # multi-host target needs a recorded methodology number every
+    # round); it is a CPU-mesh subprocess, ~60-120 s
+    if left() > 120:
         detail["shard_scaling_cpu_mesh"] = bench_scaling_curve(
             timeout_s=max(30, int(left())))
+    else:
+        detail.setdefault("skipped_scaling", "budget exhausted")
 
     print(flagship_line(detail), flush=True)
 

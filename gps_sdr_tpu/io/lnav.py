@@ -164,8 +164,18 @@ def subframe_source_bits(sf_id: int, tow_s: float, eph: Dict[str, float],
         _put(b, 241, 24, _quant(eph["omegadot"], -43, 24, True, PI))
         _put(b, 271, 8, int(eph.get("iode", 0)))
         _put(b, 279, 14, _quant(eph["idot"], -43, 14, True, PI))
-    # subframes 4/5: almanac/other — zeros are fine, the receiver only
-    # needs to see them pass parity (naviDecode_updated.m:220-223).
+    elif sf_id in (4, 5):
+        # subframes 4/5 carry almanac pages — real pages have dense,
+        # page-varying data.  Zero-filled data words are degenerate:
+        # with a steady D30* the transmitted word repeats, producing
+        # 50-bit constant stretches with NO bit edges — anything that
+        # needs transitions in that second (bit sync, the countinx
+        # search, trackingCT.m:178-213) starves.  Fill words 3-10 with
+        # a deterministic per-(tow, subframe) pseudo-pattern instead;
+        # the decoder only checks parity and the subframe ID here
+        # (naviDecode_updated.m:220-223).
+        rng = np.random.default_rng(int(round(tow_s)) * 5 + sf_id)
+        b[60:300] = rng.integers(0, 2, size=240).astype(np.int8)
     return b
 
 

@@ -116,17 +116,38 @@ def parity_check_stream(tx_bits: np.ndarray, start: int):
     bits = tx_bits.astype(np.int8).copy()
     n_words = (len(bits) - start) // 30
     ok = True
-    for w in range(n_words):
-        i = start + 30 * w
-        d29, d30 = int(bits[i - 2]), int(bits[i - 1])
+
+    def check_word(i, d29, d30):
         data = bits[i:i + 24] ^ d30
-        bits[i:i + 24] = data
+        good = True
         for k in range(6):
             acc = d29 if PARITY_DSTAR[k] == 0 else d30
             for t in PARITY_TAPS[k]:
                 acc ^= int(data[t - 1])
             if acc != int(bits[i + 24 + k]):
-                ok = False
+                good = False
+        return good, data
+
+    for w in range(n_words):
+        i = start + 30 * w
+        if i >= 2:
+            good, data = check_word(i, int(bits[i - 2]), int(bits[i - 1]))
+        else:
+            # The two context bits (D29*, D30*) before the stream's very
+            # first word do not exist.  Python's negative indexing would
+            # silently WRAP to the stream's end — a candidate at bit 1
+            # was parity-checked against the last subframe's tail.  A
+            # subframe boundary always follows a solved-tail word 10
+            # (trailing parity 00), so the true context is (0,0) for an
+            # upright stream and (1,1) when the PLL locked 180° off (the
+            # whole transmitted stream inverts; GPS parity is inversion-
+            # invariant once the context inverts with it) — try both.
+            good, data = check_word(i, 0, 0)
+            if not good:
+                good, data = check_word(i, 1, 1)
+        bits[i:i + 24] = data
+        if not good:
+            ok = False
     return ok, bits
 
 

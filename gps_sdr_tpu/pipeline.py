@@ -467,7 +467,9 @@ class Receiver:
         `multicorr` selects the 29-tap recording bank
         (trackingVT_POS_updated_multicorrelator.m:26); default from
         cmn.multicorr_vt (the reference's cmn.mltCorrON(2)).
-        Returns (VTTrackRecords, VTSolutions).
+        With a Receiver mesh, the VDFLL channel axis is sharded over it
+        (parallel/vt.py — bit-identical nav/EKF chain at any device
+        count).  Returns (VTTrackRecords, VTSolutions).
         """
         from gps_sdr_tpu.geo.ephemeris import Ephemeris
         from gps_sdr_tpu.receiver.vt import (VTParams, init_vt_state,

@@ -73,16 +73,39 @@ def test_full_decode_roundtrip():
 
 
 def test_decode_survives_inverted_polarity():
+    """PLL locked 180° off: the whole transmitted stream inverts.  The
+    preamble matches through abs() (naviDecode_updated.m:134) and GPS
+    parity is inversion-invariant once the D29*/D30* context inverts
+    with the stream — including at the stream HEAD, where the missing
+    context is tried as (0,0) then (1,1) (parity_check_stream) — so the
+    inverted stream decodes completely and to the same fields."""
     bits = lnav.encode_frames(EPH, WEEK, TOW0, 10)
     stream = -bits_to_prompt_stream(bits)  # PLL locked 180° off
     res = navdecode.decode_channel(stream, start_offset_ms=0)
-    # preamble also matches inverted (abs() in the matcher), but parity
-    # then fails for inverted words on the first candidate; the reference
-    # has the same behavior (abs(sum)>7.99, naviDecode_updated.m:134).
-    # Decode may or may not lock — just assert no crash and no bogus flag
-    # with wrong fields.
-    if res.eph.updateflag:
-        assert abs(res.eph.latest(0)["sqrta"] - EPH["sqrta"]) <= 2**-19
+    assert res.eph.updateflag == 1
+    assert res.eph.sfb[0] == 1                 # anchored at the head
+    assert abs(res.eph.latest(0)["sqrta"] - EPH["sqrta"]) <= 2**-19
+    assert res.eph.tow[0] == TOW0
+
+
+def test_decode_head_subframe_both_polarities():
+    """Regression (round 4): a subframe boundary at the very first
+    voted bit must be accepted.  Python's negative indexing silently
+    wrapped the D29*/D30* context to the stream's END — acceptance then
+    depended on the last two bits of the capture, and a channel whose
+    record ends mid-word could lose its head subframe (fatal on a
+    ~31 s record, which holds only ~5 subframes total)."""
+    bits = lnav.encode_frames(EPH, WEEK, TOW0, 10)
+    for sign in (+1, -1):
+        body = sign * bits_to_prompt_stream(bits)[60:]
+        # 40 ms opposite-sign lead: the first bit EDGE (bit sync anchor)
+        # lands exactly on the subframe boundary, so the voted stream's
+        # bit 1 IS subframe bit 1; truncate to a non-multiple of 30 bits
+        # so the (old) wrapped context would be garbage
+        stream = np.concatenate([np.full(40, -body[0]), body[:-140]])
+        res = navdecode.decode_channel(stream, start_offset_ms=0)
+        assert res.eph.updateflag == 1, sign
+        assert res.eph.sfb[0] == 1, sign
 
 
 def test_outlier_repair():
