@@ -152,6 +152,15 @@ def run_ct_positioning(records: TrackRecords, cfg: ReceiverConfig,
     sfb1 = np.array([eph[p].sfb[0] for p in prns])
 
     if meas_start_sample is None:
+        anchor_rows = nav1 + sfb1 * 20 - 1
+        if anchor_rows.max() >= T:
+            raise ValueError(
+                f"CT record ({T} rows) does not reach the first-subframe "
+                f"anchor at row {int(anchor_rows.max())} (decoded "
+                "nav1 + sfb1·20; trackingCT_POS_updated.m:151-161) — "
+                "track more ms (n_ms) or decode with a smaller "
+                "start_offset_ms so an earlier subframe anchors the "
+                "measurement epoch")
         sample_start = np.array([
             first_subframe_sample(records, ch, int(nav1[ch]), int(sfb1[ch]))
             for ch in range(n_ch)])
