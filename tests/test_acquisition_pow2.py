@@ -75,3 +75,44 @@ def test_real_grid_matches_complex(source):
                              ).astype(np.float32)),
         fft_len, S, prn_chunk=2))
     np.testing.assert_allclose(got, ref, rtol=3e-3, atol=3e-3 * ref.max())
+
+
+def test_fine_peaks_device_batch_matches_host_fft():
+    """The one-dispatch batched fine-Doppler spectrum peaks
+    (_fine_peaks_device — the TPU path run_acquisition takes) equal the
+    host FFT argmax for every SV in the batch, and fine_doppler_batch's
+    fallback equals the per-SV fine_doppler on this backend."""
+    import jax.numpy as jnp
+
+    from gps_sdr_tpu.acquisition import (_fine_peaks_device, fine_doppler,
+                                         fine_doppler_batch, next_pow2)
+    from gps_sdr_tpu.config import FileConfig, ReceiverConfig, SignalConfig
+
+    rng = np.random.default_rng(9)
+    n, n_sv = 4096, 5
+    fft_len = next_pow2(20 * n)
+    freqs = rng.uniform(0.05, 0.45, n_sv)          # cycles/sample
+    t = np.arange(n)
+    segs = np.stack([np.exp(2j * np.pi * f * t)
+                     + 0.5 * (rng.normal(size=n) + 1j * rng.normal(size=n))
+                     for f in freqs]).astype(np.complex64)
+    pairs = jnp.asarray(np.stack([segs.real, segs.imag], -1
+                                 ).astype(np.float32))
+    idx_dev = np.asarray(_fine_peaks_device(pairs, fft_len))
+    idx_host = np.array([int(np.argmax(np.abs(np.fft.fft(s, fft_len))))
+                         for s in segs])
+    np.testing.assert_array_equal(idx_dev, idx_host)
+
+    # the batch entry falls back to the per-SV path off-TPU with
+    # identical results (same segments, same peak map)
+    cfg = ReceiverConfig(file=FileConfig(skip_ms=0),
+                         signal=SignalConfig(f_if=2.5e5, fs=1.023e6))
+    S = cfg.signal.samples_per_ms
+    long_raw = (rng.normal(size=(cfg.acq.fine_fft_ms + 1) * S)
+                + 1j * rng.normal(size=(cfg.acq.fine_fft_ms + 1) * S)
+                ).astype(np.complex64)
+    prns, delays = (3, 7), (123, 456)
+    got = fine_doppler_batch(long_raw, prns, delays, cfg, "pow2")
+    want = [fine_doppler(long_raw, p, d, cfg, "pow2")
+            for p, d in zip(prns, delays)]
+    np.testing.assert_array_equal(got, want)

@@ -228,3 +228,25 @@ def test_sharded_vt_through_receiver(meshed):
     assert np.all(np.isfinite(sol.innovation))
     err = np.linalg.norm(sol.usr_pos[300:] - truth, axis=1)
     assert np.median(err) < 45.0, np.median(err)
+
+
+def test_sharded_vt_multicorr_bank(single, vt_state):
+    """The 29-tap multicorrelator VT bank
+    (trackingVT_POS_updated_multicorrelator.m) through the sharded
+    path: full tap records and the nav chain match the single-device
+    run (the EKF still closes on the ±0.5/P taps)."""
+    from gps_sdr_tpu.receiver.vt import VTParams, run_vector_tracking
+
+    state, eph_struct, _, pos_svs, init, _ = vt_state
+    params = VTParams.multicorr()
+    kw = dict(n_ms=120, chunk_ms=60)
+    trk0, sol0, _ = run_vector_tracking(
+        single.source, scenario.CFG, pos_svs, eph_struct, state, params,
+        init_pos_ecef=init, **kw)
+    trkm, solm, _ = run_vector_tracking(
+        single.source, scenario.CFG, pos_svs, eph_struct, state, params,
+        init_pos_ecef=init, mesh=make_mesh(), **kw)
+    assert trk0.corr.shape == (120, len(pos_svs), 29, 2)
+    np.testing.assert_array_equal(trk0.corr, trkm.corr)
+    np.testing.assert_array_equal(sol0.usr_pos, solm.usr_pos)
+    np.testing.assert_array_equal(sol0.innovation, solm.innovation)
