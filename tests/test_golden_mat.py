@@ -234,6 +234,16 @@ def test_urban_artifacts_load():
     assert cn0.shape[0] == 150
     assert np.all(np.median(cn0, axis=0) > 28.0)
     assert np.all(np.median(cn0, axis=0) < 40.0)
+    # archaeology the trimming hides: the shipped urban navSol's usrPos
+    # is CONSTANT over all solved epochs — it is the initialization
+    # (solu.iniPos ≈ 22.3199N 114.2091E h=4), not real fixes, so no
+    # position-domain replay target exists in the shipped artifact
+    un = sio.loadmat(os.path.join(REF, "navSolCT_1ms_Urban.mat"),
+                     squeeze_me=True)
+    upos = np.asarray(un["navSolutionsCT"]["usrPos"][()])
+    solved = upos[~np.all(upos == 0, axis=1)]
+    assert len(solved) >= 2999
+    assert np.ptp(solved, axis=0).max() == 0.0
 
 
 def test_replay_sharded_epochs_match_reference(golden, replay):
