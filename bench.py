@@ -624,8 +624,15 @@ def main():
         stages = [("vt", stage_vt), ("acquisition", stage_acquisition),
                   ("multicorr", stage_multicorr), ("32ch", stage_32ch)]
         if args.full:
-            stages += [("shift", stage_shift), ("vt_nco", stage_vt_nco),
-                       ("vt32", stage_vt32),
+            # off-TPU the flagship already IS the shift replica and the
+            # VT stage the nco replica — don't burn budget re-measuring
+            if flagship_replica != "shift":
+                stages.append(("shift", stage_shift))
+            else:
+                detail["tracking_shift_replica_sps"] = round(trk_sps, 0)
+            if vt_replica != "nco":
+                stages.append(("vt_nco", stage_vt_nco))
+            stages += [("vt32", stage_vt32),
                        ("segmented", stage_segmented)]
         for name, fn in stages:
             if left() <= 0:

@@ -513,9 +513,11 @@ def load_vt_records(path: str, prns: Sequence[int],
     abs_s = per["absoluteSample"] / bytes_per_sample
     num = np.empty_like(abs_s)
     num[1:] = np.diff(abs_s, axis=0)
-    # first block size is not recoverable from the record (see docstring)
-    num[0] = np.round(1023.0 * np.median(num[1:], axis=0) * 1e-3) * 1e3 \
-        if abs_s.shape[0] > 1 else 0.0
+    # the first block's size is not recoverable from the record; estimate
+    # it as the per-channel nominal block (median of the other rows —
+    # within the code-NCO jitter of the true value)
+    num[0] = (np.round(np.median(num[1:], axis=0))
+              if abs_s.shape[0] > 1 else 0.0)
     from gps_sdr_tpu.receiver.vt import VTTrackRecords
     trk = VTTrackRecords(
         corr=corr.astype(np.float32), carr_err=per["carrError"],
@@ -529,7 +531,8 @@ def load_vt_records(path: str, prns: Sequence[int],
 
 
 def save_navsol_vt_mat(path: str, sol, eph=None, max_prn: int = 32,
-                       var_name: str = "navSolutionsVT") -> None:
+                       var_name: str = "navSolutionsVT", trk=None,
+                       r_update_ms: int = 200) -> None:
     """Export VTSolutions as the reference's `navSolVT_*_updated` schema
     (navSolutionsVT fields recorded per ms at
     trackingVT_POS_updated.m:418-437, R at :466, saved with 'eph' at
@@ -543,10 +546,14 @@ def save_navsol_vt_mat(path: str, sol, eph=None, max_prn: int = 32,
     - kalman_gain stored (8, 2N, T) as the reference's (:,:,msIndex);
     - svxyz_pos stored (N, 3, T);
     - satePos/sateVel are the reference's loop-variable leak: the LAST
-      channel's values (…:426-427) — reproduced faithfully;
-    - R: one row per adaptive-R update event (rows of r_diag that
-      changed; the reference appends a row only when the update fires,
-      …:445-467);
+      channel's values (…:426-427) — satePos from sol.sv_pos; sateVel
+      needs the tracking record (`trk`, a VTTrackRecords) and is zeros
+      when it is not supplied;
+    - R: one row per adaptive-R firing — every `r_update_ms`-th ms
+      (the reference appends exactly one row per fire, …:445-467, so
+      row k is the k-th update at ~(k+1)·r_update_ms; pass the
+      VTParams.r_update_ms actually used — clamped values can repeat,
+      so firings cannot be recovered from value changes);
     - usrVelENU's U row is flipped to the reference's down-positive
       convention (…:408-415);
     - record_correction (NLOS correction) is always zero (…:130,469).
@@ -557,9 +564,9 @@ def save_navsol_vt_mat(path: str, sol, eph=None, max_prn: int = 32,
     n2 = sol.innovation.shape[1]
     err_state = np.einsum("tij,tj->ti", sol.kalman_gain, sol.innovation)
     meas_inno = sol.innovation - sol.predicted_z
-    # adaptive-R event rows
-    changed = np.any(np.diff(sol.r_diag, axis=0) != 0.0, axis=1)
-    r_rows = sol.r_diag[1:][changed] if T > 1 else np.zeros((0, n2))
+    # one R row per adaptive-R fire (see docstring)
+    r_rows = (sol.r_diag[r_update_ms - 1::r_update_ms]
+              if 0 < r_update_ms <= T else np.zeros((0, n2)))
     rec = np.zeros((1, 1), dtype=[(n, object) for n in (
         "localTime", "usrPos", "usrVel", "usrPosENU", "usrVelENU",
         "usrPosLLH", "clkDrift", "clkBias", "satePos", "sateVel",
@@ -576,7 +583,8 @@ def save_navsol_vt_mat(path: str, sol, eph=None, max_prn: int = 32,
     m["clkDrift"] = sol.clk_drift_ms.reshape(-1, 1)
     m["clkBias"] = sol.clk_bias_m.reshape(-1, 1)
     m["satePos"] = sol.sv_pos[:, -1, :]
-    m["sateVel"] = np.zeros((T, 3))
+    m["sateVel"] = (np.asarray(trk.sv_vel[:, -1, :], np.float64)
+                    if trk is not None else np.zeros((T, 3)))
     m["state"] = err_state
     m["svxyz_pos"] = np.transpose(sol.sv_pos, (1, 2, 0))
     m["kalman_gain"] = np.transpose(sol.kalman_gain, (1, 2, 0))

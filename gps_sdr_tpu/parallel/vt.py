@@ -32,13 +32,13 @@ import jax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from gps_sdr_tpu.parallel.mesh import AXIS
-from gps_sdr_tpu.receiver.vt import (_VT_REC_GLOBAL, VTParams, VTState,
-                                     vt_scan)
+from gps_sdr_tpu.receiver.vt import (_VT_REC_GLOBAL, _VT_STATE_REPLICATED,
+                                     VTParams, VTState, vt_scan)
 
 # VTState fields replicated across the mesh (the EKF layer); every other
-# field is per-channel and shards along its leading axis
-_REPLICATED = ("total_state", "state_cov", "r_diag", "innov_sq_sum",
-               "step_count")
+# field is per-channel and shards along its leading axis.  Single
+# source: receiver/vt._VT_STATE_REPLICATED (also drives the unpad).
+_REPLICATED = _VT_STATE_REPLICATED
 
 _STATE_SPEC = VTState(**{
     f: (P() if f in _REPLICATED else P(AXIS))

@@ -456,6 +456,23 @@ class Receiver:
                 pickle.dump(nav, f)
         return rec, nav
 
+    def _vt_stem(self, n_ms: Optional[int] = None,
+                 ct_n_ms: Optional[int] = None,
+                 init_pos_ecef: Optional[np.ndarray] = None,
+                 multicorr: Optional[bool] = None,
+                 replica: str = "auto", **_ignored) -> str:
+        """Artifact stem of a vt_position result for the given kwargs —
+        shared by vt_position's cache and export_mat's has-VT-run
+        check."""
+        cfg = self.cfg
+        if multicorr is None:
+            multicorr = cfg.cmn.multicorr_vt
+        n_ms = n_ms or cfg.track.ms_vt
+        return (f"navvt_{'mc_' if multicorr else ''}{cfg.file.name}"
+                f"_{n_ms}_{ct_n_ms or 'def'}"
+                + ("" if replica == "auto" else f"_{replica}")
+                + f"_{self._init_token(init_pos_ecef)}.pkl")
+
     def vt_position(self, n_ms: Optional[int] = None,
                     ct_n_ms: Optional[int] = None,
                     init_pos_ecef: Optional[np.ndarray] = None,
@@ -479,10 +496,9 @@ class Receiver:
         if multicorr is None:
             multicorr = cfg.cmn.multicorr_vt
         n_ms = n_ms or cfg.track.ms_vt
-        stem = (f"navvt_{'mc_' if multicorr else ''}{cfg.file.name}"
-                f"_{n_ms}_{ct_n_ms or 'def'}"
-                + ("" if replica == "auto" else f"_{replica}")
-                + f"_{self._init_token(init_pos_ecef)}.pkl")
+        stem = self._vt_stem(n_ms=n_ms, ct_n_ms=ct_n_ms,
+                             init_pos_ecef=init_pos_ecef,
+                             multicorr=multicorr, replica=replica)
         if self._have(stem):
             with open(self._path(stem), "rb") as f:
                 return pickle.load(f)
@@ -560,8 +576,11 @@ class Receiver:
         tests/test_e2e_vt.py VT round-trip).
 
         `vt` controls the VT chain: None (default) exports it when the
-        configured mode would run VT (solu.mode == 2 with cmn.vt_enable
-        — SDR_main.m:73's dispatch); True/False forces it."""
+        configured mode enables VT (solu.mode == 2 with cmn.vt_enable —
+        SDR_main.m:73's dispatch) AND the VT stage has already run for
+        `vt_kw` (its artifact is cached), so a plain CT export never
+        silently triggers minutes of vector tracking; True forces the
+        VT chain (running the stage if needed), False skips it."""
         from gps_sdr_tpu.io import matref
 
         os.makedirs(out_dir, exist_ok=True)
@@ -599,19 +618,22 @@ class Receiver:
             os.path.join(out_dir, f"navSolCT_{tag}ms_{name}.mat"), nav)
 
         if vt is None:
-            vt = cfg.solu.mode == 2 and cfg.cmn.vt_enable
+            vt = (cfg.solu.mode == 2 and cfg.cmn.vt_enable
+                  and self._have(self._vt_stem(**(vt_kw or {}))))
         if vt:
             vt_trk, vt_sol = self.vt_position(**(vt_kw or {}))
             multicorr = (vt_kw or {}).get("multicorr",
                                           cfg.cmn.multicorr_vt)
-            ie, ip, il = (4, 14, 24) if multicorr else (0, 1, 2)
+            if multicorr is None:
+                multicorr = cfg.cmn.multicorr_vt
+            from gps_sdr_tpu.receiver.vt import VTParams
+            p = VTParams.multicorr() if multicorr else VTParams()
+            ie, ip, il = p.i_early, p.i_prompt, p.i_late
             # CN0_VT: one row per moment-estimator window — the recorded
             # per-ms cn0 refreshes every cn0_window blocks, so the fresh
             # values sit at rows k·W−1 (vt.py refresh_cn0;
             # trackingVT_POS_updated.m:294-303 fills CN0_VT per window)
-            from gps_sdr_tpu.receiver.vt import VTParams
-            w = VTParams().cn0_window
-            cn0_vt = vt_sol.cn0_dbhz[w - 1::w]
+            cn0_vt = vt_sol.cn0_dbhz[p.cn0_window - 1::p.cn0_window]
             matref.save_vt_records_mat(
                 os.path.join(out_dir, f"tckRstVT_{name}_updated.mat"),
                 vt_trk, pos_svs,
@@ -620,7 +642,8 @@ class Receiver:
                 cn0_vt=cn0_vt, i_early=ie, i_prompt=ip, i_late=il)
             matref.save_navsol_vt_mat(
                 os.path.join(out_dir, f"navSolVT_{name}_updated.mat"),
-                vt_sol, eph={p: eph[p] for p in pos_svs})
+                vt_sol, eph={p_: eph[p_] for p_ in pos_svs},
+                trk=vt_trk, r_update_ms=p.r_update_ms)
 
     def report(self, out_dir: str, vt: bool = True,
                ct_kw: Optional[Dict] = None,

@@ -542,6 +542,12 @@ _VT_REC_GLOBAL = frozenset((
     "total_state", "state_cov_diag", "kalman_gain", "innovation",
     "r_diag", "loop_bw_hz", "predicted_z", "local_time"))
 
+# VTState fields replicated across the mesh (the EKF layer; never padded
+# or sliced on the channel axis) — the single source for parallel/vt.py's
+# shard specs, pad_vt_state, and run_vector_tracking's unpad
+_VT_STATE_REPLICATED = frozenset((
+    "total_state", "state_cov", "r_diag", "innov_sq_sum", "step_count"))
+
 
 @dataclasses.dataclass
 class VTSolutions:
@@ -735,9 +741,7 @@ def run_vector_tracking(source: IFSampleSource, cfg: ReceiverConfig,
         prefetcher.close()
     if n_pad:
         state = VTState(**{
-            f: (getattr(state, f)
-                if f in ("total_state", "state_cov", "r_diag",
-                         "innov_sq_sum", "step_count")
+            f: (getattr(state, f) if f in _VT_STATE_REPLICATED
                 else getattr(state, f)[:n_real])
             for f in VTState._fields})
     cat = {k: np.concatenate(v) for k, v in recs.items()}

@@ -218,7 +218,7 @@ def test_vt_mat_export_roundtrip(vt_result, tmp_path):
     assert np.all(np.asarray(ch0["amplitude"], np.float64) == 0.0)
 
     pn = str(tmp_path / "navSolVT_test_updated.mat")
-    matref.save_navsol_vt_mat(pn, sol)
+    matref.save_navsol_vt_mat(pn, sol, trk=trk)
     g = matref.load_navsol_vt(pn)
     np.testing.assert_array_equal(g["usrPos"], sol.usr_pos)
     np.testing.assert_array_equal(g["usrVel"], sol.usr_vel)
@@ -244,6 +244,11 @@ def test_vt_mat_export_roundtrip(vt_result, tmp_path):
     # the U row is down-positive in the file (reference convention)
     np.testing.assert_array_equal(g["usrVelENU"][:, 2],
                                   -sol.usr_vel_enu[:, 2])
-    # adaptive-R event rows only (the reference appends per update)
-    assert g["R"].ndim == 2 and g["R"].shape[1] == sol.innovation.shape[1]
-    assert g["R"].shape[0] <= sol.usr_pos.shape[0] // 200 + 1
+    # satePos/sateVel: the reference's last-channel loop leak
+    np.testing.assert_array_equal(g["satePos"], sol.sv_pos[:, -1, :])
+    np.testing.assert_allclose(g["sateVel"], trk.sv_vel[:, -1, :],
+                               rtol=1e-6)
+    # exactly one R row per adaptive-R fire (every 200 ms)
+    T = sol.usr_pos.shape[0]
+    assert g["R"].shape == (T // 200, sol.innovation.shape[1])
+    np.testing.assert_array_equal(g["R"], sol.r_diag[199::200])

@@ -59,9 +59,11 @@ def test_export_mat_reference_schemas(tmp_path):
     rx.track_for_eph(n_ms=scenario.DURATION_MS - 200)
     rx.decode(start_offset_ms=200)
     out = str(tmp_path / "mat")
+    # vt=True forces the VT stage (the vt=None default only exports a VT
+    # chain that has ALREADY run for these exact vt_kw)
     rx.export_mat(out, ct_kw=dict(n_ms=4000, init_pos_ecef=INIT),
-                  vt_kw=dict(n_ms=1500, ct_n_ms=4000,
-                             init_pos_ecef=INIT))
+                  vt=True, vt_kw=dict(n_ms=1500, ct_n_ms=4000,
+                                      init_pos_ecef=INIT))
     files = sorted(os.listdir(out))
     # the scenario config runs VT (solu.mode=2 + vt_enable), so the VT
     # artifact chain is exported alongside the CT chain
