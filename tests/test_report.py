@@ -97,3 +97,31 @@ def test_export_mat_reference_schemas(tmp_path):
     assert sorted(eph) == prns
     na = matref.load_nacquired(os.path.join(out, "nAcquired_geo_scn_0.mat"))
     assert list(na["sv"]) == prns
+
+
+def test_export_mat_vt_none_semantics(tmp_path):
+    """vt=None exports the VT chain only when the VT stage has ALREADY
+    run for the given vt_kw (cached artifact) — a plain CT export never
+    silently triggers vector tracking; a mismatched vt_kw likewise
+    skips."""
+    src = scenario.build_scenario_source()
+    rx = Receiver(scenario.CFG, src, artifact_dir=scenario.CACHE_DIR)
+    rx.track_for_eph(n_ms=scenario.DURATION_MS - 200)
+    rx.decode(start_offset_ms=200)
+    vt_kw = dict(n_ms=1500, ct_n_ms=4000, init_pos_ecef=INIT)
+    # ensure a cached VT result exists for these exact kwargs (the
+    # export test usually left one; run the stage if ordering differs)
+    if not rx._have(rx._vt_stem(**vt_kw)):
+        rx.vt_position(**vt_kw)
+    assert rx._have(rx._vt_stem(**vt_kw))
+    out1 = str(tmp_path / "with_vt")
+    rx.export_mat(out1, ct_kw=dict(n_ms=4000, init_pos_ecef=INIT),
+                  vt_kw=vt_kw)
+    assert any(f.startswith("tckRstVT") for f in os.listdir(out1))
+    # an n_ms no VT run ever used → vt=None skips the VT chain
+    out2 = str(tmp_path / "no_vt")
+    rx.export_mat(out2, ct_kw=dict(n_ms=4000, init_pos_ecef=INIT),
+                  vt_kw=dict(n_ms=1499, ct_n_ms=4000,
+                             init_pos_ecef=INIT))
+    assert not any(f.startswith("tckRstVT") for f in os.listdir(out2))
+    assert any(f.startswith("tckRstCT") for f in os.listdir(out2))
