@@ -606,3 +606,35 @@ def test_vt_golden_loader_roundtrip(golden_vt):
     np.testing.assert_array_equal(
         trk.num_sample[1:].astype(np.float64),
         np.diff(per["absoluteSample"] / 2.0, axis=0))
+
+
+def test_vt_golden_resave_schema_parity(golden_vt, tmp_path):
+    """Writer-vs-reference schema parity: the reference's own shipped VT
+    record, loaded and re-saved through save_vt_records_mat, carries
+    EXACTLY the shipped field set (names and order) and round-trips the
+    per-ms series bit-for-bit — a MATLAB consumer cannot distinguish
+    the schemas."""
+    import scipy.io as sio
+
+    shipped = os.path.join(REF, "tckRstVT_Opensky_updated.mat")
+    trk, cn0 = matref.load_vt_records(shipped, POS_PRNS)
+    p = str(tmp_path / "resave.mat")
+    matref.save_vt_records_mat(p, trk, POS_PRNS, samples_per_ms=58000,
+                               cn0_vt=cn0)
+    ref_names = sio.loadmat(shipped, squeeze_me=True
+                            )["TckResultVT"].dtype.names
+    our_names = sio.loadmat(p, squeeze_me=True
+                            )["TckResultVT"].dtype.names
+    assert our_names == ref_names
+    trk2, cn02 = matref.load_vt_records(p, POS_PRNS)
+    np.testing.assert_array_equal(cn02, cn0)
+    np.testing.assert_array_equal(trk2.absolute_sample,
+                                  trk.absolute_sample)
+    np.testing.assert_array_equal(trk2.rem_chip, trk.rem_chip)
+    np.testing.assert_array_equal(trk2.rem_phase, trk.rem_phase)
+    np.testing.assert_array_equal(trk2.carr_nco, trk.carr_nco)
+    np.testing.assert_array_equal(trk2.code_freq, trk.code_freq)
+    np.testing.assert_array_equal(trk2.carr_freq, trk.carr_freq)
+    np.testing.assert_array_equal(trk2.delta_pr, trk.delta_pr)
+    np.testing.assert_allclose(trk2.corr, trk.corr, rtol=1e-6)
+    np.testing.assert_allclose(trk2.sv_vel, trk.sv_vel, rtol=1e-9)
