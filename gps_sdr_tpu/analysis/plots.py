@@ -286,6 +286,51 @@ def plot_acf_evolution(corr: np.ndarray, taps: Sequence[float],
     plt.close(fig)
 
 
+def save_acf_animation(corr: np.ndarray, taps: Sequence[float],
+                       prn: int, out_path: str, channel: int = 0,
+                       rem_chip: Optional[np.ndarray] = None,
+                       start_ms: int = 0, n_frames: int = 20,
+                       stride_ms: int = 1,
+                       frame_duration_ms: int = 1000) -> None:
+    """Animated multicorrelator ACF GIF — the reference's
+    `correlation_outputs.gif` (CalculateFeatures.m:299-319): each frame
+    overlays one more per-ms ACF curve on the accumulating axes
+    (MATLAB `hold on` + `imwrite(...,'WriteMode','append')`), with the
+    tap axis shifted by that ms's remChip exactly as the reference
+    plots `spacing + remChip(ind)`.
+
+    corr      (T, N, ntaps, 2) I/Q multicorrelator records
+    rem_chip  (T, N) remChip series for the x-shift; 0 when omitted
+    """
+    from PIL import Image
+
+    plt = _plt()
+    taps = np.asarray(taps, np.float64)
+    order = np.argsort(taps)
+    env = np.sqrt(corr[:, channel, :, 0] ** 2
+                  + corr[:, channel, :, 1] ** 2)       # (T, ntaps)
+    rows = start_ms + stride_ms * np.arange(n_frames)
+    rows = rows[rows < env.shape[0]]
+    shift = (np.asarray(rem_chip[:, channel], np.float64)
+             if rem_chip is not None else np.zeros(env.shape[0]))
+    fig, ax = plt.subplots(figsize=(6.4, 4.8))
+    ax.grid(True)
+    ax.set_title(f"PRN #{prn}", fontsize=14)
+    ax.set_xlabel("Time delay (Chip)", fontsize=14)
+    ax.set_ylabel("Correlation value", fontsize=14)
+    frames = []
+    for r in rows:
+        ax.plot(taps[order] + shift[r], env[r][order], lw=1)
+        fig.canvas.draw()
+        frames.append(Image.fromarray(
+            np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()))
+    plt.close(fig)
+    if not frames:
+        raise ValueError("no frames: start_ms beyond the record")
+    frames[0].save(out_path, save_all=True, append_images=frames[1:],
+                   duration=frame_duration_ms, loop=0)
+
+
 def save_all(acq=None, records=None, prns=None, eph=None, nav=None,
              vt_sol=None, truth_ecef=None, out_dir: str = "results",
              vt_trk=None) -> None:

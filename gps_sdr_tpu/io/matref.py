@@ -490,9 +490,10 @@ def load_vt_records(path: str, prns: Sequence[int],
     Inverse of save_vt_records_mat (also loads the reference's own
     shipped `tckRstVT_Opensky_updated.mat`).  Fields the schema does not
     carry are reconstructed or None:
-    - num_sample: diff of absoluteSample (row 0 estimated as
-      round(1023·fs_chips⁻¹) from codeFreq — the schema drops the first
-      block's size, trackingVT_POS_updated.m:164 vs :344);
+    - num_sample: diff of absoluteSample (the schema drops the first
+      block's size, trackingVT_POS_updated.m:164 vs :344 — row 0 is
+      estimated as the per-channel median of the remaining rows, which
+      is within the code-NCO jitter of the true value);
     - transmit_time: None (not in the reference schema).
     """
     import scipy.io as sio
@@ -530,9 +531,10 @@ def load_vt_records(path: str, prns: Sequence[int],
     return trk, cn0
 
 
-def save_navsol_vt_mat(path: str, sol, eph=None, max_prn: int = 32,
-                       var_name: str = "navSolutionsVT", trk=None,
-                       r_update_ms: int = 200) -> None:
+def save_navsol_vt_mat(path: str, sol, *, r_update_ms: int, eph=None,
+                       max_prn: int = 32,
+                       var_name: str = "navSolutionsVT",
+                       trk=None) -> None:
     """Export VTSolutions as the reference's `navSolVT_*_updated` schema
     (navSolutionsVT fields recorded per ms at
     trackingVT_POS_updated.m:418-437, R at :466, saved with 'eph' at
@@ -546,14 +548,19 @@ def save_navsol_vt_mat(path: str, sol, eph=None, max_prn: int = 32,
     - kalman_gain stored (8, 2N, T) as the reference's (:,:,msIndex);
     - svxyz_pos stored (N, 3, T);
     - satePos/sateVel are the reference's loop-variable leak: the LAST
-      channel's values (…:426-427) — satePos from sol.sv_pos; sateVel
-      needs the tracking record (`trk`, a VTTrackRecords) and is zeros
-      when it is not supplied;
+      channel's values (…:426-427) — satePos is the earth-rotation-
+      corrected svxyzr (…:372), reconstructed here by rotating the last
+      channel's sol.sv_pos through |sv − usr| + clkBias (the reference
+      rotates through its full predictedPr incl. sv-clock/iono/tropo,
+      …:370-372; the travel-time difference is ~µs → mm-level satePos
+      difference); sateVel needs the tracking record (`trk`, a
+      VTTrackRecords) and is zeros when it is not supplied;
     - R: one row per adaptive-R firing — every `r_update_ms`-th ms
       (the reference appends exactly one row per fire, …:445-467, so
-      row k is the k-th update at ~(k+1)·r_update_ms; pass the
-      VTParams.r_update_ms actually used — clamped values can repeat,
-      so firings cannot be recovered from value changes);
+      row k is the k-th update at ~(k+1)·r_update_ms; `r_update_ms` is
+      required — it must be the VTParams.r_update_ms actually used,
+      because clamped values can repeat, so firings cannot be
+      recovered from value changes);
     - usrVelENU's U row is flipped to the reference's down-positive
       convention (…:408-415);
     - record_correction (NLOS correction) is always zero (…:130,469).
@@ -582,7 +589,11 @@ def save_navsol_vt_mat(path: str, sol, eph=None, max_prn: int = 32,
     m["usrPosLLH"] = sol.usr_pos_llh
     m["clkDrift"] = sol.clk_drift_ms.reshape(-1, 1)
     m["clkBias"] = sol.clk_bias_m.reshape(-1, 1)
-    m["satePos"] = sol.sv_pos[:, -1, :]
+    from gps_sdr_tpu.geo.earth import earth_rotation_correction
+    sv_last = np.asarray(sol.sv_pos[:, -1, :], np.float64)
+    travel_m = (np.linalg.norm(sv_last - sol.usr_pos, axis=-1)
+                + np.asarray(sol.clk_bias_m, np.float64))
+    m["satePos"] = np.asarray(earth_rotation_correction(sv_last, travel_m))
     m["sateVel"] = (np.asarray(trk.sv_vel[:, -1, :], np.float64)
                     if trk is not None else np.zeros((T, 3)))
     m["state"] = err_state

@@ -192,8 +192,20 @@ class Receiver:
         per-channel loop state from the (b) records at each channel's
         own switch row (tracking.state_from_records) with the re-based
         pointer ptr0 + (1000+countinx)·S (trackingCT.m:403).
+
+        Checkpoint/resume: shares the `tckeph_` artifact stem with
+        track_for_eph — both produce the stage-2 per-ms eph record the
+        decode stage consumes, so a resumed run (or one that already
+        ran the plain schedule) loads it instead of re-tracking
+        (SDR_main.m:34-38's trackFlag skip).
         """
         cfg = self.cfg
+        if self._eph_records is not None:
+            return self._eph_records
+        stem = f"tckeph_{cfg.file.name}.npz"
+        if self._have(stem):
+            self._eph_records = self._load_records(self._path(stem))
+            return self._eph_records
         acq = self.acquisition()
         S = cfg.signal.samples_per_ms
         n1, n10 = cfg.track.ms_eph_1ms, cfg.track.ms_eph_10ms
@@ -468,7 +480,10 @@ class Receiver:
         if multicorr is None:
             multicorr = cfg.cmn.multicorr_vt
         n_ms = n_ms or cfg.track.ms_vt
-        return (f"navvt_{'mc_' if multicorr else ''}{cfg.file.name}"
+        # navvt2_: stem bumped when VTTrackRecords gained
+        # rem_chip/rem_phase/carr_nco — a pre-bump pickle would restore
+        # without the attributes and break export_mat (ADVICE r4)
+        return (f"navvt2_{'mc_' if multicorr else ''}{cfg.file.name}"
                 f"_{n_ms}_{ct_n_ms or 'def'}"
                 + ("" if replica == "auto" else f"_{replica}")
                 + f"_{self._init_token(init_pos_ecef)}.pkl")

@@ -37,6 +37,22 @@ def main(out_dir: str = "results") -> None:
     truth = np.asarray(llh2xyz(np.asarray(scenario.TRUTH_LLH)))
     rx.report(out_dir, ct_kw=dict(n_ms=4000), vt_kw=dict(n_ms=3000))
 
+    # ACF artifacts (ACF/CalculateFeatures.m): waterfall PNG + the
+    # reference's animated correlation_outputs.gif, from a 25-tap
+    # multicorrelator run
+    from gps_sdr_tpu.analysis import plots
+    from gps_sdr_tpu.tracking import TrackParams
+
+    mc_rec, _ = rx.ct_position(n_ms=1500, multicorr=True)
+    mc_taps = TrackParams.pos_multicorr(scenario.CFG).taps
+    prns = rx.usable_svs()
+    plots.plot_acf_evolution(mc_rec.corr, mc_taps, prns,
+                             os.path.join(out_dir, "acf_evolution.png"))
+    plots.save_acf_animation(
+        mc_rec.corr, mc_taps, prn=prns[0], channel=0,
+        rem_chip=mc_rec.rem_chip, start_ms=1000, n_frames=20,
+        out_path=os.path.join(out_dir, "correlation_outputs.gif"))
+
     acq = rx.acquisition()
     _, nav = rx.ct_position(n_ms=4000)
     _, vt_sol = rx.vt_position(n_ms=3000)
@@ -86,6 +102,9 @@ def main(out_dir: str = "results") -> None:
         "| task5_ekf.png | Plot_task_5.m |",
         "| channels_dashboard.png | TrackingPlot3.m (per-SV panels) |",
         "| vt_channels.png | TrackingPlot_vt.m (channels + nav) |",
+        "| acf_evolution.png | CalculateFeatures.m ACF waterfall |",
+        "| correlation_outputs.gif | CalculateFeatures.m:299-319 "
+        "animated ACF |",
         "| task3_ephemeris.csv | Task_3_table.m |",
         "",
     ]

@@ -89,3 +89,30 @@ def test_acf_evolution_plot(tmp_path):
     out = str(tmp_path / "acf.png")
     plot_acf_evolution(corr, taps, prns=(3, 16), out_path=out)
     assert os.path.getsize(out) > 10_000
+
+
+def test_acf_animation_gif(tmp_path):
+    """save_acf_animation writes the reference's animated ACF artifact
+    (CalculateFeatures.m:299-319 correlation_outputs.gif): a multi-frame
+    GIF whose frames accumulate per-ms ACF curves."""
+    import os
+
+    from PIL import Image
+
+    from gps_sdr_tpu.analysis.plots import save_acf_animation
+
+    rng = np.random.default_rng(3)
+    taps = [round(0.6 - 0.05 * i, 4) for i in range(25)]
+    tri = np.clip(1.0 - np.abs(np.asarray(taps)), 0.0, None)
+    corr = np.zeros((60, 2, 25, 2))
+    corr[..., 0] = 1000.0 * tri[None, None, :]
+    corr += rng.normal(scale=20.0, size=corr.shape)
+    rem = np.zeros((60, 2))
+    rem[:, 1] = np.linspace(0, 0.1, 60)
+    out = str(tmp_path / "acf.gif")
+    save_acf_animation(corr, taps, prn=16, channel=1, rem_chip=rem,
+                       out_path=out, n_frames=12, stride_ms=4)
+    assert os.path.getsize(out) > 5_000
+    with Image.open(out) as im:
+        assert im.format == "GIF"
+        assert getattr(im, "n_frames", 1) == 12

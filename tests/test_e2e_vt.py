@@ -175,6 +175,7 @@ def test_vt_mat_export_roundtrip(vt_result, tmp_path):
     navSolutionsVT schemas round-trip through the loaders — a MATLAB
     user of the reference can consume this build's VT outputs."""
     from gps_sdr_tpu.io import matref
+    from gps_sdr_tpu.receiver.vt import VTParams
     from tests.scenario import CFG
 
     trk, sol, _ = vt_result
@@ -218,7 +219,8 @@ def test_vt_mat_export_roundtrip(vt_result, tmp_path):
     assert np.all(np.asarray(ch0["amplitude"], np.float64) == 0.0)
 
     pn = str(tmp_path / "navSolVT_test_updated.mat")
-    matref.save_navsol_vt_mat(pn, sol, trk=trk)
+    matref.save_navsol_vt_mat(pn, sol, trk=trk,
+                              r_update_ms=VTParams().r_update_ms)
     g = matref.load_navsol_vt(pn)
     np.testing.assert_array_equal(g["usrPos"], sol.usr_pos)
     np.testing.assert_array_equal(g["usrVel"], sol.usr_vel)
@@ -244,8 +246,20 @@ def test_vt_mat_export_roundtrip(vt_result, tmp_path):
     # the U row is down-positive in the file (reference convention)
     np.testing.assert_array_equal(g["usrVelENU"][:, 2],
                                   -sol.usr_vel_enu[:, 2])
-    # satePos/sateVel: the reference's last-channel loop leak
-    np.testing.assert_array_equal(g["satePos"], sol.sv_pos[:, -1, :])
+    # satePos/sateVel: the reference's last-channel loop leak; satePos
+    # is the earth-rotation-corrected svxyzr (trackingVT_POS_updated.m:
+    # 372,426) — rotated through |sv − usr| + clkBias (writer docstring)
+    from gps_sdr_tpu.geo.earth import earth_rotation_correction
+    sv_last = sol.sv_pos[:, -1, :]
+    travel = (np.linalg.norm(sv_last - sol.usr_pos, axis=-1)
+              + sol.clk_bias_m)
+    np.testing.assert_allclose(
+        g["satePos"],
+        np.asarray(earth_rotation_correction(sv_last, travel)),
+        rtol=0, atol=1e-9)
+    # the rotation moves satePos O(40 m) off the raw sv_pos — assert the
+    # correction is actually applied, not a no-op
+    assert np.max(np.abs(g["satePos"] - sv_last)) > 1.0
     np.testing.assert_allclose(g["sateVel"], trk.sv_vel[:, -1, :],
                                rtol=1e-6)
     # exactly one R row per adaptive-R fire (every 200 ms)
