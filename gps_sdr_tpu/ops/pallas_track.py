@@ -1,0 +1,408 @@
+"""Whole-chunk fused tracking kernel: the DLL/PLL loop INSIDE Pallas.
+
+Round-4 VERDICT weak #1: the tracking scan was block-serial because the
+~10-op loop-filter recurrence lived outside the per-block correlator
+kernel (tracking.py scan_step), costing one kernel dispatch plus XLA
+glue per coherent block — the flagship ran at single-digit percent of
+either VPU or HBM roofline.  This module moves the ENTIRE per-ms loop of
+trackingCT.m:96-150 (variable block length from the code NCO, carrier
+synthesis, mix, E/P/L correlation, discriminators, 2nd-order DLL/PLL
+filters, NCO feedback) into ONE `pallas_call`: grid (N,) — one program
+per channel — with a `fori_loop` over every block of the chunk, so a
+1000 ms chunk is a single kernel dispatch instead of 1000.
+
+Design:
+
+- **Raw IQ stays in HBM** (`(2, R, 128)` plane-rows); each block's
+  sample window is DMA'd HBM→VMEM double-buffered: the DMA for block
+  k+1 is issued from the *predicted* pointer ptr_k + S_ref before block
+  k's compute, overlapping transfer with compute.  Prediction error is
+  |num − S_ref| ≤ ~2 samples (rem_chip stays inside one code-NCO step),
+  covered by a 256-sample alignment margin and a W = blk/128 + 7 row
+  window.
+- **No signal extraction**: the block is correlated on the fetched
+  aligned grid directly — the carrier phase is re-anchored by
+  −r·carr_fp (exact int32 Q32 wrap) and each tap's code window is
+  shifted by −r in the table coordinate, where r = ptr − 128·row is the
+  in-window offset.  Only the code table pays the lane-rotate
+  machinery (`pltpu.roll`), exactly as in ops/pallas_correlator.py.
+- **Loop state in registers** (the fori_loop carry), f32/int32 with
+  compensated arithmetic replacing the scan's f64:
+  - carrier phase: int32 Q32 accumulator (exact mod 2³², as before);
+    carr_fp = basis_fp + round(pll·2³²/fs) — the f32 pll term is ≤1e5
+    so the reconstruction differs from the f64 path by ≤1 Q32 LSB
+    (1.4e-2 Hz), a 1.4e-5 cycle/ms phase slope at worst;
+  - block length: num = S_ref + d with d = rnd((c0 − rem −
+    S_ref·dcf/fs)/step) — all CANCELLED small terms (c0 = n_chips −
+    S_ref·basis/fs from f64 host precompute, dcf = codeFreq − basis,
+    rem ∈ (−step, step)), so the f32 evaluation carries ~6e-6 samples
+    of error where the naive (n_chips − rem)/step would carry 4e-3;
+  - rem_chip: rem' = (d − delta)·step — again pure small-term
+    arithmetic (~1e-7 chips/block error, random-walking to ~2e-5 over
+    a 40 s run) instead of the catastrophic 1023-cancellation;
+  - loop filters: dll/pll accumulators and discriminators in f32
+    (values are O(1e-3..1e2); f32 noise is orders below the thermal
+    noise the discriminators carry).
+- **Records pack into one 128-lane f32 row per block** (corr I/Q in
+  lanes 0..2·ntaps−1, scalars after, int32 fields bit-cast), written to
+  a (T, 128) VMEM output block and unpacked host-side into the exact
+  `track_scan` record dict.
+
+Equivalence to the f64 scan engine is trajectory-level, not bit-level:
+the DLL/PLL close the loop on the same signal, so the f32 state noise
+(≪ discriminator thermal noise) is absorbed by the filters
+(tests/test_pallas_fused.py pins corr/freq/num/rem agreement).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gps_sdr_tpu.ops.pallas_correlator import _lane_window
+
+Q32F = 4294967296.0
+_TO_RAD = np.float32(2.0 * np.pi / Q32F)
+
+# samples of lead the predicted window keeps ahead of the true pointer
+PRED_MARGIN = 256
+# extra window rows beyond the block: alignment (1) + prediction (2) +
+# clamp-at-chunk-start slack (4)
+EXTRA_ROWS = 7
+# extra code-table lead-in beyond build_shift_tables' 2.5·spc margin:
+# the aligned-grid correlation shifts every tap window left by
+# r ∈ [0, EXTRA_ROWS·128) samples
+FUSED_TABLE_MARGIN = EXTRA_ROWS * 128
+
+
+def build_shift_tables_fused(cfg, prns, blk: int):
+    """(N, W+16, 128) shift tables with the fused kernel's enlarged
+    lead-in margin (see FUSED_TABLE_MARGIN)."""
+    from gps_sdr_tpu.ops.cacode import CODE_LENGTH, ca_code_table
+
+    spc = cfg.signal.fs / cfg.signal.code_freq_basis
+    margin = int(np.ceil(2.5 * spc)) + FUSED_TABLE_MARGIN
+    W = blk // 128 + EXTRA_ROWS
+    ntc = W + 16
+    t_len = ntc * 128
+    m = np.arange(t_len, dtype=np.float64) - margin
+    chip_idx = (np.ceil(m * (cfg.signal.code_freq_basis / cfg.signal.fs))
+                .astype(np.int64) - 1) % CODE_LENGTH
+    tables = np.stack([ca_code_table()[p - 1][chip_idx] for p in prns])
+    return tables.reshape(len(prns), ntc, 128).astype(np.float32), margin
+
+
+def _atan_f32(z):
+    """arctan for arbitrary f32 z — Mosaic has no atan primitive.
+
+    Range-reduce to w = min(|z|, 1/|z|) ∈ [0, 1], evaluate the
+    Abramowitz-Stegun 4.4.49 minimax polynomial (|ε| ≤ 2e-8, below f32
+    resolution), and unfold via atan(1/w) = π/2 − atan(w)."""
+    az = jnp.abs(z)
+    inv = az > 1.0
+    w = jnp.where(inv, 1.0 / az, az)
+    x2 = w * w
+    p = jnp.float32(-0.0040540580)
+    for c in (0.0218612288, -0.0559098861, 0.0964200441, -0.1390853351,
+              0.1994653599, -0.3332985605, 0.9999993329):
+        p = p * x2 + jnp.float32(c)
+    a = w * p
+    a = jnp.where(inv, jnp.float32(np.pi / 2) - a, a)
+    return jnp.where(z < 0, -a, a)
+
+
+def _fused_kernel(scal_i_ref, scal_f_ref, raw_ref, chips_ref, rec_ref,
+                  win, sems, *, n_steps: int, W: int, ntaps: int,
+                  taps: Tuple[float, ...], epl: Tuple[int, int, int],
+                  rounding: str, sign: float,
+                  remove_dc: bool, fs: float, code_freq_basis: float,
+                  n_chips: int, s_ref: int, c0: float, margin: int,
+                  tau_c: Tuple[float, float], tau_r: Tuple[float, float],
+                  dt: float, dll_freq_sign: float, n_rows_hbm: int):
+    ch = pl.program_id(0)
+    ptr0 = scal_i_ref[ch, 0]
+    phase0 = scal_i_ref[ch, 1]
+    basis_fp = scal_i_ref[ch, 2]
+    rem0 = scal_f_ref[ch, 0]
+    dcf0 = scal_f_ref[ch, 1]
+    dll0 = scal_f_ref[ch, 2]
+    dll_last0 = scal_f_ref[ch, 3]
+    pll0 = scal_f_ref[ch, 4]
+    pll_last0 = scal_f_ref[ch, 5]
+
+    f32 = jnp.float32
+    i32 = jnp.int32
+    INV_FS = f32(1.0 / fs)
+    STEP_BASIS = f32(code_freq_basis / fs)
+    INV_STEP_NOM = f32(fs / code_freq_basis)
+    Q32_PER_HZ = f32(Q32F / fs)
+    TAU_RC = f32(tau_c[1] / tau_c[0])
+    DT_T1C = f32(dt / tau_c[0])
+    TAU_RR = f32(tau_r[1] / tau_r[0])
+    DT_T1R = f32(dt / tau_r[0])
+    INV_2PI = f32(1.0 / (2.0 * np.pi))
+    SIGN = f32(sign)
+    DSIGN = f32(dll_freq_sign)
+    C0 = f32(c0)
+    S_REF = i32(s_ref)
+    L = 2 * ntaps
+
+    def row_of(ptr_pred):
+        r = jax.lax.div(ptr_pred - i32(PRED_MARGIN), i32(128))
+        # i32 clip bounds: python ints would trace as i64 under x64 and
+        # Mosaic cannot legalize the promotion
+        return jnp.clip(r, i32(0), i32(n_rows_hbm - W))
+
+    def dma(slot, row):
+        return pltpu.make_async_copy(
+            raw_ref.at[:, pl.ds(row, W), :], win.at[slot], sems.at[slot])
+
+    row0 = row_of(ptr0)
+    dma(i32(0), row0).start()
+
+    qi = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    li = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    p_idx = qi * 128 + li                                 # (W, 128)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def body(k, c):
+        (ptr, row_cur, rem, dcf, dll, dll_last, pll, pll_last, phase) = c
+        slot = jax.lax.rem(k, i32(2))
+        nslot = jax.lax.rem(k + i32(1), i32(2))
+        # issue block k+1's predicted fetch before computing block k
+        row_next = row_of(ptr + S_REF)
+
+        @pl.when(k + 1 < n_steps)
+        def _():
+            dma(nslot, row_next).start()
+
+        dma(slot, row_cur).wait()
+        xw = win[pl.ds(slot, 1)][0]                        # (2, W, 128)
+
+        # ---- block length (compensated small-term form; see module
+        # docstring) — matches correlate_block's num/rem recurrence ----
+        step = STEP_BASIS + dcf * INV_FS                   # chips/sample
+        delta = (C0 - rem - f32(s_ref) * (dcf * INV_FS)) / step
+        d_f = jnp.ceil(delta) if rounding == "ceil" else jnp.round(delta)
+        num = S_REF + d_f.astype(i32)
+
+        # ---- carrier on the aligned fetched grid: phase re-anchored by
+        # −r·carr_fp; phasor outer product (W+128 transcendental pairs) ----
+        carr_fp = basis_fp + jnp.round(pll * Q32_PER_HZ).astype(i32)
+        r_total = ptr - row_cur * 128                      # int32 ≥ 0
+        phase_adj = phase - r_total * carr_fp
+        phq = (phase_adj + qi * (carr_fp * 128)).astype(f32) * _TO_RAD
+        phr = (li * carr_fp).astype(f32) * _TO_RAD
+        uc, us = jnp.cos(phq), jnp.sin(phq)
+        vc, vs = jnp.cos(phr), jnp.sin(phr)
+        carr_c = uc * vc - us * vs                         # (W, 128)
+        carr_s = uc * vs + us * vc
+
+        valid = jnp.logical_and(p_idx >= r_total,
+                                p_idx < r_total + num).astype(f32)
+        xr = xw[0] * valid
+        xi = xw[1] * valid
+        if remove_dc:
+            inv_n = 1.0 / num.astype(f32)
+            xr = (xr - jnp.sum(xr) * inv_n) * valid
+            xi = (xi - jnp.sum(xi) * inv_n) * valid
+        # mixed = x·e^{iθ}: I = imag, Q = real (trackingCT.m:113)
+        mi = xr * carr_s + xi * carr_c
+        mq = xr * carr_c - xi * carr_s
+
+        # ---- taps: fractional table windows shifted into the aligned
+        # grid coordinate (i0 − r_total) ----
+        pos_base = f32(margin) + rem * INV_STEP_NOM
+        corr_iv = []
+        corr_qv = []
+        for t in range(ntaps):
+            pos = pos_base + f32(taps[t] * fs / code_freq_basis)
+            i0f = jnp.floor(pos)
+            fr = pos - i0f
+            i0 = i0f.astype(i32) - r_total
+            q0 = jax.lax.div(i0, i32(128))
+            r0 = jax.lax.rem(i0, i32(128))
+            a = chips_ref[0, pl.ds(q0, W + 8), :]
+            v0 = _lane_window(a, r0, W)
+            v1 = _lane_window(a, r0 + 1, W)
+            code = v0 * (1.0 - fr) + v1 * fr
+            corr_iv.append(jnp.sum(code * mi) * SIGN)
+            corr_qv.append(jnp.sum(code * mq) * SIGN)
+
+        # ---- discriminators + 2nd-order loop filters
+        # (trackingCT.m:137-150) ----
+        e_i, e_q = corr_iv[epl[0]], corr_qv[epl[0]]
+        p_i, p_q = corr_iv[epl[1]], corr_qv[epl[1]]
+        l_i, l_q = corr_iv[epl[2]], corr_qv[epl[2]]
+        e = jnp.sqrt(e_i * e_i + e_q * e_q)
+        lmag = jnp.sqrt(l_i * l_i + l_q * l_q)
+        code_err = 0.5 * (e - lmag) / jnp.maximum(e + lmag, f32(1e-30))
+        dll_new = dll + TAU_RC * (code_err - dll_last) + code_err * DT_T1C
+        dcf_new = DSIGN * dll_new
+        safe_pi = jnp.where(p_i == 0, f32(1e-30), p_i)
+        carr_err = _atan_f32(p_q / safe_pi) * INV_2PI
+        pll_new = pll + TAU_RR * (carr_err - pll_last) + carr_err * DT_T1R
+
+        rem_new = (d_f - delta) * step
+        phase_new = phase + num * carr_fp                  # exact mod 2³²
+        ptr_new = ptr + num
+
+        # ---- packed record row (see _unpack_records for the layout) ----
+        row_f = jnp.zeros((1, 128), f32)
+        for t in range(ntaps):
+            row_f = row_f + corr_iv[t] * (col == t).astype(f32) \
+                + corr_qv[t] * (col == ntaps + t).astype(f32)
+        scalars = (code_err, carr_err, dll_new, pll_new, rem_new,
+                   d_f, dcf_new)
+        for j, v in enumerate(scalars):
+            row_f = row_f + v * (col == L + j).astype(f32)
+        row_i = (phase_new * (col == L + 7).astype(i32)
+                 + ptr_new * (col == L + 8).astype(i32))
+        int_lane = jnp.logical_or(col == L + 7, col == L + 8)
+        row = jnp.where(int_lane, pltpu.bitcast(row_i, f32), row_f)
+        rec_ref[0, pl.ds(k, 1), :] = row
+
+        return (ptr_new, row_next, rem_new, dcf_new, dll_new, code_err,
+                pll_new, carr_err, phase_new)
+
+    # int32 loop bounds: python-int bounds trace the index as i64 under
+    # the package's global x64 mode, which Mosaic cannot legalize
+    jax.lax.fori_loop(
+        jnp.int32(0), jnp.int32(n_steps), body,
+        (ptr0, row0, rem0, dcf0, dll0, dll_last0, pll0, pll_last0, phase0))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_steps", "blk", "ntaps", "taps", "epl", "rounding", "sign",
+    "remove_dc", "fs", "code_freq_basis", "n_chips", "margin", "tau_c",
+    "tau_r", "dt", "dll_freq_sign", "interpret"))
+def fused_track_chunk(raw_rows: jnp.ndarray, scal_i: jnp.ndarray,
+                      scal_f: jnp.ndarray, chips: jnp.ndarray, *,
+                      n_steps: int, blk: int, ntaps: int,
+                      taps: Tuple[float, ...], epl: Tuple[int, int, int],
+                      rounding: str, sign: float,
+                      remove_dc: bool, fs: float, code_freq_basis: float,
+                      n_chips: int, margin: int,
+                      tau_c: Tuple[float, float],
+                      tau_r: Tuple[float, float], dt: float,
+                      dll_freq_sign: float,
+                      interpret: bool = False) -> jnp.ndarray:
+    """One fused dispatch: `n_steps` coherent blocks × all channels.
+
+    raw_rows (2, R, 128) f32 I/Q plane-rows; scal_i (N, 3) int32
+    [ptr_off, phase_fp, basis_fp]; scal_f (N, 6) f32 [rem, dcf, dll,
+    dll_last, pll, pll_last]; chips the build_shift_tables_fused layout.
+    Returns packed records (N, n_steps, 128).
+    """
+    n = scal_i.shape[0]
+    W = blk // 128 + EXTRA_ROWS
+    ntc = chips.shape[1]
+    s_ref = int(round(n_chips * fs / code_freq_basis))
+    c0 = n_chips - s_ref * (code_freq_basis / fs)  # f64 host precompute
+    kernel = functools.partial(
+        _fused_kernel, n_steps=n_steps, W=W, ntaps=ntaps, taps=taps,
+        epl=epl, rounding=rounding, sign=sign, remove_dc=remove_dc, fs=fs,
+        code_freq_basis=code_freq_basis, n_chips=n_chips, s_ref=s_ref,
+        c0=c0, margin=margin, tau_c=tau_c, tau_r=tau_r, dt=dt,
+        dll_freq_sign=dll_freq_sign, n_rows_hbm=raw_rows.shape[1])
+    return pl.pallas_call(
+        kernel,
+        grid=(n,),
+        out_shape=jax.ShapeDtypeStruct((n, n_steps, 128), jnp.float32),
+        in_specs=[
+            pl.BlockSpec((n, 3), lambda i: (i * 0, i * 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((n, 6), lambda i: (i * 0, i * 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),             # raw stays HBM
+            pl.BlockSpec((1, ntc, 128), lambda i: (i, i * 0, i * 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_steps, 128),
+                               lambda i: (i, i * 0, i * 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, W, 128), jnp.float32),       # double buffer
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(scal_i, scal_f, raw_rows, chips)
+
+
+# packed-row scalar lanes, after the 2·ntaps correlator lanes
+_SCALAR_LANES = ("code_err", "carr_err", "dll", "pll", "rem_chip",
+                 "d_num", "dcf")                    # f32, lanes L+0..L+6
+# int32 bit-cast lanes: L+7 phase_fp, L+8 ptr_off
+
+
+def pack_state(state, code_freq_basis: float, fs: float, chunk_start):
+    """TrackState → (scal_i, scal_f) kernel inputs (f64 → compensated
+    f32/int32; see module docstring)."""
+    ptr_off = (state.ptr - chunk_start).astype(jnp.int32)
+    basis_fp = jnp.round(state.carr_freq_basis / fs * Q32F
+                         ).astype(jnp.int64).astype(jnp.int32)
+    # carr_fp reconstruction in-kernel is basis_fp + round(pll·2³²/fs);
+    # seed pll so the FIRST block's carr_fp matches the state's
+    # carr_freq exactly in f64 terms
+    pll = (state.carr_freq - state.carr_freq_basis).astype(jnp.float32)
+    dcf = (state.code_freq - code_freq_basis).astype(jnp.float32)
+    scal_i = jnp.stack([ptr_off, state.phase_fp, basis_fp], axis=1)
+    scal_f = jnp.stack([
+        state.rem_chip.astype(jnp.float32), dcf,
+        state.dll_nco.astype(jnp.float32),
+        state.dll_last.astype(jnp.float32), pll,
+        state.pll_last.astype(jnp.float32)], axis=1)
+    return scal_i, scal_f
+
+
+def unpack_records(packed: jnp.ndarray, ntaps: int, s_ref: int,
+                   code_freq_basis: float, carr_freq_basis: jnp.ndarray,
+                   chunk_start):
+    """Packed (N, T, 128) rows → the track_scan record dict (T, N, …)."""
+    L = 2 * ntaps
+    p = jnp.swapaxes(packed, 0, 1)                     # (T, N, 128)
+    corr = jnp.stack([p[..., :ntaps], p[..., ntaps:L]], axis=-1)
+    s = {k: p[..., L + j].astype(jnp.float64)
+         for j, k in enumerate(_SCALAR_LANES)}
+    phase_fp = jax.lax.bitcast_convert_type(p[..., L + 7], jnp.int32)
+    ptr_off = jax.lax.bitcast_convert_type(p[..., L + 8], jnp.int32)
+    num = (s_ref + s["d_num"]).astype(jnp.int64)
+    return dict(
+        corr=corr, code_err=s["code_err"], carr_err=s["carr_err"],
+        code_freq=code_freq_basis + s["dcf"],
+        carr_freq=carr_freq_basis[None, :].astype(jnp.float64) + s["pll"],
+        num_sample=num, rem_chip=s["rem_chip"],
+        rem_phase=jnp.remainder(
+            phase_fp.astype(jnp.float64) * (2.0 * np.pi / Q32F),
+            2.0 * np.pi),
+        absolute_sample=chunk_start + ptr_off.astype(jnp.int64),
+    ), s, phase_fp, ptr_off
+
+
+def state_from_packed(state, packed: jnp.ndarray, ntaps: int,
+                      code_freq_basis: float):
+    """Final-row packed record → the next chunk's TrackState."""
+    from gps_sdr_tpu.tracking import TrackState
+
+    L = 2 * ntaps
+    last = packed[:, -1, :]                            # (N, 128)
+    s = {k: last[:, L + j].astype(jnp.float64)
+         for j, k in enumerate(_SCALAR_LANES)}
+    phase_fp = jax.lax.bitcast_convert_type(last[:, L + 7], jnp.int32)
+    ptr_off = jax.lax.bitcast_convert_type(last[:, L + 8], jnp.int32)
+    return TrackState(
+        ptr=ptr_off.astype(jnp.int64),                 # chunk-relative;
+        # run_tracking re-bases with chunk_start
+        rem_chip=s["rem_chip"],
+        code_freq=code_freq_basis + s["dcf"],
+        carr_freq=state.carr_freq_basis + s["pll"],
+        carr_freq_basis=state.carr_freq_basis,
+        phase_fp=phase_fp,
+        dll_nco=s["dll"], dll_last=s["code_err"],
+        pll_nco=s["pll"], pll_last=s["carr_err"])

@@ -79,6 +79,12 @@ class Receiver:
         self.mesh = mesh
         if artifact_dir:
             os.makedirs(artifact_dir, exist_ok=True)
+            # compiled-executable cache next to the stage artifacts:
+            # repeat runs (and every process after the first) skip the
+            # cold XLA/Mosaic compiles (utils/jit_cache.py)
+            from gps_sdr_tpu.utils.jit_cache import enable_compilation_cache
+            enable_compilation_cache(os.path.join(artifact_dir,
+                                                  "jax_cache"))
         self._acq: Optional[AcquisitionResult] = None
         self._eph_records: Optional[TrackRecords] = None
         self._eph = None

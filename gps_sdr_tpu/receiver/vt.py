@@ -664,6 +664,11 @@ def run_vector_tracking(source: IFSampleSource, cfg: ReceiverConfig,
     fs = float(cfg.signal.fs)
     blk = -(-(S * params.pdi_ms + 256) // 128) * 128
     replica = resolve_replica(params.replica)
+    if replica == "fused":
+        # the whole-chunk fused kernel closes the loop in-kernel; the
+        # VDFLL's code NCO is driven per-ms by the nav solution, so VT
+        # uses the per-block fused correlator instead
+        replica = "pallas"
     if replica not in ("nco", "pallas"):
         raise ValueError(f"VT supports replica 'nco' or 'pallas', "
                          f"got {replica!r}")

@@ -95,7 +95,11 @@ class TrackParams:
                                    # replica fused into one VMEM-resident
                                    # TPU kernel (ops/pallas_correlator.py
                                    # — carrier + mix + taps + reduce in a
-                                   # single pass, the TPU fast path)
+                                   # single pass); "fused": the ENTIRE
+                                   # per-ms loop incl. DLL/PLL in one
+                                   # whole-chunk kernel dispatch
+                                   # (ops/pallas_track.py — the TPU
+                                   # production path, ~2x "pallas")
 
     @staticmethod
     def epl(cfg: ReceiverConfig, pdi_ms: int = 1, **kw) -> "TrackParams":
@@ -150,12 +154,15 @@ class TrackParams:
 
 
 def resolve_replica(mode: str) -> str:
-    """"auto" → the fused Pallas kernel on TPU, the exact Q32 NCO
-    replica elsewhere (CPU tests run Pallas in interpret mode only where
-    a test asks for it)."""
+    """"auto" → the whole-chunk fused kernel on TPU (ops/pallas_track.py
+    — the entire DLL/PLL loop in one dispatch per chunk, ~2× the
+    per-block kernel), the exact Q32 NCO replica elsewhere (CPU tests
+    run Pallas in interpret mode only where a test asks for it).  The
+    VT driver maps "fused" back to the per-block "pallas" kernel — its
+    per-ms EKF coupling needs the loop outside."""
     if mode != "auto":
         return mode
-    return "pallas" if jax.default_backend() == "tpu" else "nco"
+    return "fused" if jax.default_backend() == "tpu" else "nco"
 
 
 def init_track_state(cfg: ReceiverConfig, code_delays: np.ndarray,
@@ -317,6 +324,11 @@ def track_scan(raw: jnp.ndarray, chunk_start: jnp.ndarray, state: TrackState,
                  build_shift_tables[_2d] layout for "shift"/"pallas"
     Returns (new_state, records) with records as (T, N, ...) arrays.
     """
+    if params.replica == "fused":
+        raise ValueError("replica='fused' is a whole-chunk kernel — "
+                         "drive it through run_tracking (or "
+                         "ops.pallas_track.fused_track_chunk directly), "
+                         "not track_scan")
     n_chips = CODE_LENGTH * params.pdi_ms
     taps = jnp.asarray(params.taps, jnp.float64)
     tau1c, tau2c = loop_coefficients(params.dll_bw_hz, params.dll_damping,
@@ -521,6 +533,12 @@ def run_tracking(source: IFSampleSource, cfg: ReceiverConfig, prns,
     # blk multiple of 128: the carrier outer-product factorization needs it
     blk = -(-(S * params.pdi_ms + 256) // 128) * 128
     margin = 0
+    if params.replica == "fused" and params.pdi_ms > 2:
+        # long coherent blocks overflow the fused kernel's VMEM window
+        # budget (double-buffered (2, 2, W, 128) + temporaries); the
+        # per-block Pallas path handles them
+        params = dataclasses.replace(params, replica="pallas")
+    use_fused = params.replica == "fused"
     if params.replica == "shift":
         chip_tables, margin = build_shift_tables(cfg, prns, blk)
         chip_tables = jnp.asarray(chip_tables)
@@ -529,6 +547,13 @@ def run_tracking(source: IFSampleSource, cfg: ReceiverConfig, prns,
             raise ValueError("replica='pallas' does not support "
                              "per-channel windows")
         chip_tables, margin = build_shift_tables_2d(cfg, prns, blk)
+        chip_tables = jnp.asarray(chip_tables)
+    elif use_fused:
+        if per_channel_io:
+            raise ValueError("replica='fused' does not support "
+                             "per-channel windows")
+        from gps_sdr_tpu.ops.pallas_track import build_shift_tables_fused
+        chip_tables, margin = build_shift_tables_fused(cfg, prns, blk)
         chip_tables = jnp.asarray(chip_tables)
     else:
         chip_tables = jnp.asarray(
@@ -552,8 +577,15 @@ def run_tracking(source: IFSampleSource, cfg: ReceiverConfig, prns,
             "(per-channel raw windows are host-gathered; the sharded "
             "scan needs one replicated chunk) — running single-device",
             stacklevel=2)
+    if mesh is not None and getattr(mesh, "size", 1) > 1 and use_fused:
+        import warnings
+        warnings.warn(
+            "run_tracking: replica='fused' runs single-device (the "
+            "whole-chunk kernel is one dispatch; shard channels by "
+            "splitting the PRN list across Receivers) — mesh ignored",
+            stacklevel=2)
     use_mesh = (mesh is not None and getattr(mesh, "size", 1) > 1
-                and not per_channel_io)
+                and not per_channel_io and not use_fused)
     n_pad = 0
     if use_mesh:
         from gps_sdr_tpu.parallel.tracking import (pad_channels,
@@ -561,7 +593,7 @@ def run_tracking(source: IFSampleSource, cfg: ReceiverConfig, prns,
         state, chip_tables, n_pad = pad_channels(state, chip_tables,
                                                  mesh.size)
         sharded_fns: Dict[int, object] = {}
-    use_planes = params.replica == "pallas"
+    use_planes = params.replica in ("pallas", "fused")
     read_fn = functools.partial(
         source.read_iq_planes if use_planes else source.read_iq_pairs,
         remove_dc=False)
@@ -581,6 +613,8 @@ def run_tracking(source: IFSampleSource, cfg: ReceiverConfig, prns,
             ptr_min = int(np.min(ptrs))
             ptr_max = int(np.max(ptrs))
             win = nb * params.pdi_ms * S + blk + 64
+            if use_fused:
+                win += 2048                # DMA prediction + row slack
             if per_channel_io:
                 # channels far apart (time-segmented): per-channel windows
                 raw = jnp.asarray(np.stack([
@@ -589,9 +623,43 @@ def run_tracking(source: IFSampleSource, cfg: ReceiverConfig, prns,
                 start = jnp.asarray(ptrs, jnp.int64)
             else:
                 length = (ptr_max - ptr_min) + win
+                if use_fused:              # plane-rows layout (2, R, 128)
+                    length = -(-length // 128) * 128
                 raw = jnp.asarray(prefetcher.fetch(ptr_min, length))
                 start = jnp.int64(ptr_min)
-            if use_mesh:
+            if use_fused:
+                from gps_sdr_tpu.ops.pallas_track import (
+                    fused_track_chunk, pack_state, state_from_packed,
+                    unpack_records)
+                cfb = float(cfg.signal.code_freq_basis)
+                tau_c = loop_coefficients(params.dll_bw_hz,
+                                          params.dll_damping,
+                                          params.dll_gain)
+                tau_r = loop_coefficients(params.pll_bw_hz,
+                                          params.pll_damping,
+                                          params.pll_gain)
+                scal_i, scal_f = pack_state(state, cfb, fs, start)
+                packed = fused_track_chunk(
+                    raw.reshape(2, -1, 128), scal_i, scal_f, chip_tables,
+                    n_steps=nb, blk=blk, ntaps=len(params.taps),
+                    taps=params.taps,
+                    epl=(params.i_early, params.i_prompt, params.i_late),
+                    rounding=params.rounding,
+                    sign=-1.0 if params.negate_iq else 1.0,
+                    remove_dc=params.remove_dc, fs=fs,
+                    code_freq_basis=cfb,
+                    n_chips=CODE_LENGTH * params.pdi_ms, margin=margin,
+                    tau_c=tau_c, tau_r=tau_r, dt=params.loop_dt_s,
+                    dll_freq_sign=params.dll_freq_sign,
+                    interpret=jax.default_backend() != "tpu")
+                s_ref = int(round(CODE_LENGTH * params.pdi_ms * fs / cfb))
+                rec, _, _, _ = unpack_records(
+                    packed, len(params.taps), s_ref, cfb,
+                    state.carr_freq_basis, start)
+                state = state_from_packed(state, packed,
+                                          len(params.taps), cfb)
+                state = state._replace(ptr=state.ptr + jnp.int64(ptr_min))
+            elif use_mesh:
                 fn = sharded_fns.get(nb)
                 if fn is None:
                     fn = sharded_track_scan(
