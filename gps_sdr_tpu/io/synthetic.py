@@ -226,3 +226,92 @@ class GeometrySignal:
                 vals[1::2] = iq.imag
                 np.clip(np.round(vals), info.min, info.max
                         ).astype(dtype).tofile(f)
+
+    def write_file_fast(self, path: str, duration_ms: int,
+                        noise_std: float = 0.0, seed: int = 0,
+                        chunk_ms: int = 100) -> None:
+        """Jitted synthesis for LARGE captures (the 58 MHz e2e bench
+        capture: `generate_ms`'s eager complex128 path runs ~1 M
+        sample·SV/s, hours at 58 MHz × 40 s).
+
+        Same signal model, reformulated around the fact that BOTH phase
+        arguments are exactly linear within a ms (delta and tau are
+        linearly interpolated between ms boundaries): per (SV, ms) the
+        host computes the f64 boundary values and the jitted kernel
+        evaluates carrier = e^{2πi·mod(c0+k·dc, 1)} (f64 mod, f32
+        sin/cos — ≤6e-8 cycle error, far under the int8 quantization
+        step) and the code/bit gathers in int32.  Noise uses JAX's
+        threefry stream, so sample noise differs from `write_file`'s
+        NumPy stream — use only where the capture itself is the product
+        (benchmarks), not for golden comparisons."""
+        import jax
+        import jax.numpy as jnp
+
+        sig = self.cfg.signal
+        spm = sig.samples_per_ms
+        dtype = np.int8 if self.cfg.file.data_precision == 1 else np.int16
+        info = np.iinfo(dtype)
+        rebase = self.tow0 - self.msg_tow0
+        n_sv = len(self.svs)
+        # f64 boundary chains, one light-time solve per ms boundary
+        tau_b = np.arange(duration_ms + 1, dtype=np.float64) * (spm / sig.fs)
+        cyc_b = np.empty((n_sv, duration_ms + 1))
+        chp_b = np.empty((n_sv, duration_ms + 1))
+        amps = np.array([sv.amplitude for sv in self.svs], np.float32)
+        chips_tbl = np.stack([ca_code(sv.prn).astype(np.float32)
+                              for sv in self.svs])
+        max_bits = max(len(self.bits[sv.prn]) for sv in self.svs)
+        bits_pm = np.zeros((n_sv, max_bits), np.float32)
+        for i, sv in enumerate(self.svs):
+            delta_b = self.sv_clock_delta(sv.prn, tau_b)
+            cyc_b[i] = sig.fc * delta_b + sig.f_if * tau_b
+            chp_b[i] = (rebase + tau_b + delta_b) * sig.code_freq_basis
+            b = self.bits[sv.prn]
+            bits_pm[i, :len(b)] = 1.0 - 2.0 * b.astype(np.float32)
+
+        k = jnp.arange(spm, dtype=jnp.float64)
+        kf = jnp.arange(spm, dtype=jnp.float32)
+
+        @jax.jit
+        def synth(c0, dc, p0, dp, key):
+            # c0/dc/p0/dp: (n_sv, nm) f64 per-ms linear-phase params
+            def one(c0v, dcv, p0v, dpv, tbl, bpm, amp):
+                th = (2.0 * np.pi) * jnp.mod(
+                    c0v[:, None] + k[None, :] * dcv[:, None], 1.0
+                ).astype(jnp.float32)
+                chip = jnp.floor(p0v[:, None] + k[None, :] * dpv[:, None])
+                code = tbl[jnp.mod(chip, float(CODE_LENGTH)
+                                   ).astype(jnp.int32)]
+                bit = bpm[jnp.clip(chip / float(CODE_LENGTH * 20), 0,
+                                   bpm.shape[0] - 1).astype(jnp.int32)]
+                cb = amp * code * bit
+                # carrier convention: sin θ + i·cos θ (_carrier_iq)
+                return cb * jnp.sin(th), cb * jnp.cos(th)
+
+            re, im = jax.vmap(one)(c0, dc, p0, dp, jnp.asarray(chips_tbl),
+                                   jnp.asarray(bits_pm),
+                                   jnp.asarray(amps))
+            re, im = jnp.sum(re, 0), jnp.sum(im, 0)   # (nm, spm)
+            if noise_std > 0:
+                nz = noise_std * jax.random.normal(
+                    key, (2,) + re.shape, jnp.float32)
+                re, im = re + nz[0], im + nz[1]
+            out = jnp.stack([re, im], axis=-1)        # (nm, spm, 2)
+            return jnp.clip(jnp.round(out), info.min, info.max
+                            ).astype(jnp.int8 if dtype == np.int8
+                                     else jnp.int16)
+
+        _ = kf
+        key0 = jax.random.PRNGKey(seed)
+        with open(path, "wb") as f:
+            for ms in range(0, duration_ms, chunk_ms):
+                nm = min(chunk_ms, duration_ms - ms)
+                sl = slice(ms, ms + nm)
+                sl1 = slice(ms + 1, ms + nm + 1)
+                c0 = jnp.asarray(cyc_b[:, sl])
+                dc = jnp.asarray((cyc_b[:, sl1] - cyc_b[:, sl]) / spm)
+                p0 = jnp.asarray(chp_b[:, sl])
+                dp = jnp.asarray((chp_b[:, sl1] - chp_b[:, sl]) / spm)
+                out = synth(c0, dc, p0, dp,
+                            jax.random.fold_in(key0, ms))
+                np.asarray(out).tofile(f)

@@ -178,8 +178,9 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
 
     params.replica selects the correlator engine: "nco" vmaps the exact
     Q32 replica (raw is (L, 2) pairs, chip_tables (N, 1023)); "pallas"
-    runs the fused kernel (raw is (2, L) planes, chip_tables the
-    build_shift_tables_2d layout with its `margin`).
+    runs the fused in-kernel-DMA bank (raw is (2, R, 128) HBM-resident
+    plane-rows, chip_tables the build_shift_tables_fused layout with
+    its `margin`).
 
     `axis_name` (set by parallel/vt.sharded_vt_scan, which wraps this in
     shard_map) runs the scan with the CHANNEL axis sharded over a device
@@ -216,9 +217,8 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
     taps = jnp.asarray(params.taps, jnp.float64)
     use_pallas = params.replica == "pallas"
     if use_pallas:
-        from gps_sdr_tpu.ops.pallas_correlator import correlator_bank
+        from gps_sdr_tpu.ops.pallas_track import correlator_bank_hbm
         interpret = jax.default_backend() != "tpu"
-        nq = blk // 128
         ntaps = len(params.taps)
     tau1, tau2 = loop_coefficients(params.pll_bw_hz, params.pll_damping,
                                    params.pll_gain)
@@ -350,20 +350,23 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
         # with the previous code frequency, replica steps at the new one
         # (…:164,227-232) ---
         if use_pallas:
+            # in-kernel window DMA (ops/pallas_track.correlator_bank_hbm):
+            # the raw chunk stays HBM-resident as (2, R, 128) plane-rows
+            # and each channel's block window is fetched inside the
+            # kernel — no per-channel XLA dynamic-slice extraction (the
+            # dominant term of the measured VT step breakdown)
             off = (st.ptr - chunk_start).astype(jnp.int32)
-            xw = jax.vmap(lambda o: jax.lax.dynamic_slice(
-                raw, (jnp.int32(0), o), (2, blk)))(off)
-            xw = xw.reshape(n_ch, 2, nq, 128)
             step_nom = code_freq_basis / fs
             pos = margin + (st.rem_chip[:, None] + taps[None, :]) / step_nom
             i0 = jnp.floor(pos).astype(jnp.int32)
             frac = (pos - jnp.floor(pos)).astype(jnp.float32)
             carr_fp = jnp.round(st.carr_freq / fs * 4294967296.0
                                 ).astype(jnp.int64).astype(jnp.int32)
-            corr = correlator_bank(xw, chip_tables, i0, frac, st.phase_fp,
-                                   carr_fp, num.astype(jnp.int32),
-                                   ntaps=ntaps, remove_dc=params.remove_dc,
-                                   interpret=interpret)
+            corr = correlator_bank_hbm(raw, off, i0, frac, st.phase_fp,
+                                       carr_fp, num.astype(jnp.int32),
+                                       chip_tables, ntaps=ntaps, blk=blk,
+                                       remove_dc=params.remove_dc,
+                                       interpret=interpret)
             num2 = num
             rem_new = (num.astype(jnp.float64) * (code_freq / fs)
                        + st.rem_chip - n_chips)
@@ -685,7 +688,7 @@ def run_vector_tracking(source: IFSampleSource, cfg: ReceiverConfig,
     local, the EKF update runs replicated from all-gathered measurement
     rows — records and solutions are bit-identical to the single-device
     scan at any device count."""
-    from gps_sdr_tpu.tracking import build_shift_tables_2d, resolve_replica
+    from gps_sdr_tpu.tracking import resolve_replica
 
     S = cfg.signal.samples_per_ms
     fs = float(cfg.signal.fs)
@@ -694,7 +697,7 @@ def run_vector_tracking(source: IFSampleSource, cfg: ReceiverConfig,
     if replica == "fused":
         # the whole-chunk fused kernel closes the loop in-kernel; the
         # VDFLL's code NCO is driven per-ms by the nav solution, so VT
-        # uses the per-block fused correlator instead
+        # uses the per-block in-kernel-DMA bank instead
         replica = "pallas"
     if replica not in ("nco", "pallas"):
         raise ValueError(f"VT supports replica 'nco' or 'pallas', "
@@ -702,7 +705,8 @@ def run_vector_tracking(source: IFSampleSource, cfg: ReceiverConfig,
     params = dataclasses.replace(params, replica=replica)
     margin = 0
     if replica == "pallas":
-        tables, margin = build_shift_tables_2d(cfg, prns, blk)
+        from gps_sdr_tpu.ops.pallas_track import build_shift_tables_fused
+        tables, margin = build_shift_tables_fused(cfg, prns, blk)
         chip_tables = jnp.asarray(tables)
     else:
         chip_tables = jnp.asarray(
@@ -736,7 +740,14 @@ def run_vector_tracking(source: IFSampleSource, cfg: ReceiverConfig,
             ptr_min = int(np.min(np.asarray(state.ptr)))
             ptr_max = int(np.max(np.asarray(state.ptr)))
             length = (ptr_max - ptr_min) + nb * params.pdi_ms * S + blk + 64
-            raw = jnp.asarray(prefetcher.fetch(ptr_min, length))
+            if replica == "pallas":
+                # in-kernel-DMA layout: (2, R, 128) plane-rows with
+                # prediction/row slack (ops/pallas_track.correlator_bank_hbm)
+                length = -(-(length + 2048) // 128) * 128
+                raw = jnp.asarray(
+                    prefetcher.fetch(ptr_min, length).reshape(2, -1, 128))
+            else:
+                raw = jnp.asarray(prefetcher.fetch(ptr_min, length))
             if use_mesh:
                 fn = sharded_fns.get(nb)
                 if fn is None:
