@@ -350,6 +350,126 @@ def bench_segmented(n_ch: int = 2, n_segments: int = 8, n_ms: int = 8000,
     return work / t_serial, work / t_seg
 
 
+E2E_CAPTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".cache", "e2e58_scn_v1.bin")
+E2E_MS = 41000
+# the shared scenario constellation's surveyed antenna (tests/scenario.py)
+E2E_TRUTH_LLH = (0.3897057693107332, 1.9926489077944098, 4.0)
+
+
+def make_e2e_capture(path: str = None) -> str:
+    """Generate the 41 s, 58 MHz, 5-SV end-to-end bench capture (~4.8 GB;
+    ~15 min once) with the jitted synthesis writer.  The e2e stage skips
+    with a note when the file is absent — run
+    `python bench.py --make-e2e-capture` to create it."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import numpy as np
+
+    from gps_sdr_tpu.geo.coords import llh2xyz
+    from gps_sdr_tpu.io.synthetic import GeometrySignal, GeometrySV
+    from tests import scenario
+
+    path = path or E2E_CAPTURE
+    cfg = _e2e_cfg(path)
+    ephs = scenario.visible_constellation(5)
+    svs = [GeometrySV(prn=p, eph=e, amplitude=a)
+           for p, e, a in zip(scenario.SCN_PRNS, ephs,
+                              scenario.AMPLITUDES)]
+    usr = np.asarray(llh2xyz(np.asarray(scenario.TRUTH_LLH)))
+    gs = GeometrySignal(cfg, svs, usr, scenario.TOW0,
+                        clk_bias_s=scenario.CLK_BIAS_S,
+                        clk_drift_sps=scenario.CLK_DRIFT_SPS,
+                        atmosphere=True, iono_alpha=cfg.cmn.iono_alpha,
+                        iono_beta=cfg.cmn.iono_beta,
+                        doy=cfg.cmn.day_of_year)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    gs.write_file_fast(path + ".tmp", E2E_MS,
+                       noise_std=scenario.NOISE_STD, seed=11)
+    os.replace(path + ".tmp", path)
+    return path
+
+
+def _e2e_cfg(path: str):
+    from gps_sdr_tpu.config import (CommonConfig, FileConfig,
+                                    ReceiverConfig, SignalConfig,
+                                    SolutionConfig)
+
+    return ReceiverConfig(
+        file=FileConfig(path=path, name="e2e58", skip_ms=0),
+        signal=SignalConfig(f_if=4.58e6, fs=58e6),
+        solu=SolutionConfig(truth_llh=E2E_TRUTH_LLH),
+        cmn=CommonConfig(multicorr_ct=False, multicorr_vt=False))
+
+
+def bench_pipeline_e2e(ct_ms: int = 3000, vt_ms: int = 1000):
+    """Round-4 VERDICT weak #5: the recorded END-TO-END number — a 41 s
+    58 MHz Opensky-shaped capture through the full driver (acquisition →
+    eph tracking → decode → WLS → VT/EKF) on the chip, per-stage split,
+    cold and warm.  Cold = fresh artifact directory, first compiles
+    (amortized by the persistent compilation cache across bench runs);
+    warm = a second fresh artifact directory in the same process — the
+    steady-state recompute cost.  Fix quality is asserted so the number
+    certifies a WORKING pipeline, not just completed dispatches."""
+    import tempfile
+
+    import jax  # noqa: F401
+
+    from gps_sdr_tpu.geo.coords import llh2xyz
+    from gps_sdr_tpu.io.ifdata import IFSampleSource
+    from gps_sdr_tpu.pipeline import Receiver
+
+    cfg = _e2e_cfg(E2E_CAPTURE)
+    truth = np.asarray(llh2xyz(np.asarray(cfg.solu.truth_llh)))
+
+    def one_pass(tag):
+        stages = {}
+        with tempfile.TemporaryDirectory() as td:
+            src = IFSampleSource(E2E_CAPTURE, cfg.file)
+            rx = Receiver(cfg, src, artifact_dir=td)
+            t0 = time.perf_counter()
+            acq = rx.acquisition()
+            stages["acquisition_s"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            rx.track_for_eph(n_ms=E2E_MS - 1200)
+            stages["eph_tracking_s"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            rx.decode(start_offset_ms=1000)
+            svs = rx.usable_svs()
+            stages["decode_s"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            _, nav = rx.ct_position(n_ms=ct_ms)
+            stages["ct_wls_s"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            _, sol = rx.vt_position(n_ms=vt_ms, ct_n_ms=ct_ms)
+            stages["vt_ekf_s"] = round(time.perf_counter() - t0, 2)
+        total = sum(stages.values())
+        err = np.linalg.norm(nav.usr_pos - truth, axis=1)
+        verr = np.linalg.norm(sol.usr_pos - truth, axis=1)
+        assert len(svs) >= 4, f"e2e decode found only {svs}"
+        assert np.median(err) < 80.0, np.median(err)
+        assert np.all(np.isfinite(sol.usr_pos))
+        return dict(total_wall_s=round(total, 2),
+                    capture_s=round(E2E_MS / 1000, 1),
+                    x_realtime=round(E2E_MS / 1000 / total, 2),
+                    stages=stages, n_usable_svs=len(svs),
+                    wls_median_err_m=round(float(np.median(err)), 1),
+                    vt_median_err_m=round(float(np.median(verr)), 1))
+
+    cold = one_pass("cold")
+    warm = one_pass("warm")
+    return {"cold": cold, "warm": warm,
+            "note": ("41 s of 58 MHz int8 IQ (5 SVs, full LNAV, "
+                     "transmit-time geometry + atmosphere) through the "
+                     "staged driver on one chip; the eph-tracking stage "
+                     "streams the 4.8 GB capture through host "
+                     "deinterleave/float staging, which bounds the "
+                     "end-to-end rate — the chip-side scan itself "
+                     "sustains the flagship throughput")}
+
+
 def bench_scaling_curve(timeout_s: int = 900):
     """Scaling-efficiency methodology numbers for BASELINE.md's ≥80%
     multi-host target, measured on the virtual 8-device CPU mesh (the
@@ -580,7 +700,10 @@ def main():
                          "flagship tracking, VT, 25-tap multicorrelator, "
                          "32-channel tracking, and the full acquisition "
                          "search within the wall budget")
-    ap.add_argument("--budget-s", type=float, default=900.0,
+    ap.add_argument("--make-e2e-capture", action="store_true",
+                    help="generate the 41 s 58 MHz e2e capture "
+                         "(.cache/e2e58_scn_v1.bin) and exit")
+    ap.add_argument("--budget-s", type=float, default=1500.0,
                     help="soft wall budget: each stage after the "
                          "flagship is skipped once the elapsed wall time "
                          "exceeds this (every completed stage has "
@@ -588,6 +711,9 @@ def main():
                          "budget kill still leaves the measured stages "
                          "on record — the round-2 lesson)")
     args = ap.parse_args()
+    if args.make_e2e_capture:
+        print(make_e2e_capture())
+        return
     t_start = time.perf_counter()
     # persistent compiled-executable cache: the whole-chunk fused kernel
     # pays minutes of one-time Mosaic compilation on the hosted backend;
@@ -755,6 +881,21 @@ def main():
                       segmented_small_shape_8seg_sps=round(g, 0),
                       segmented_small_shape_speedup=round(g / s, 2))
 
+    def stage_e2e():
+        if not os.path.exists(E2E_CAPTURE):
+            detail["pipeline_e2e"] = {
+                "skipped": "capture missing — generate once with "
+                           "`python bench.py --make-e2e-capture` "
+                           "(~15 min, 4.8 GB)"}
+            return
+        d = bench_pipeline_e2e()
+        detail["pipeline_e2e"] = d
+        stage_line("end-to-end pipeline wall, warm (41 s 58 MHz capture: "
+                   "acquisition -> eph tracking -> decode -> WLS -> "
+                   "1000 ms VT/EKF, one chip)",
+                   d["warm"]["total_wall_s"], "s",
+                   d["warm"]["x_realtime"])
+
     with prof:
         trk_sps, trk_dt = bench_tracking(replica=flagship_replica)
         detail.update(
@@ -766,7 +907,7 @@ def main():
                   ("vt_phases", stage_vt_phases),
                   ("acquisition", stage_acquisition),
                   ("multicorr", stage_multicorr), ("32ch", stage_32ch),
-                  ("vt32", stage_vt32)]
+                  ("vt32", stage_vt32), ("e2e", stage_e2e)]
         if args.full:
             # off-TPU the flagship already IS the shift replica and the
             # VT stage the nco replica — don't burn budget re-measuring
