@@ -38,6 +38,7 @@ from gps_sdr_tpu.navdecode import EphemerisRecord
 from gps_sdr_tpu.positioning.wls import (doppler_velocity_ls,
                                          iterated_ls_position)
 from gps_sdr_tpu.tracking import TrackRecords
+from gps_sdr_tpu.utils.device import on_host_cpu
 
 
 @dataclasses.dataclass
@@ -82,6 +83,7 @@ def first_subframe_sample(records: TrackRecords, ch: int, nav1_ms: int,
     return float(records.absolute_sample[nav1_ms + sfb1 * 20 - 1, ch])
 
 
+@on_host_cpu
 def run_ct_positioning(records: TrackRecords, cfg: ReceiverConfig,
                        prns: Sequence[int],
                        eph: Dict[int, EphemerisRecord],

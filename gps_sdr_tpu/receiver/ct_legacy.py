@@ -54,6 +54,7 @@ from gps_sdr_tpu.navdecode import EphemerisRecord
 from gps_sdr_tpu.positioning.relpr import (
     relative_pseudorange_from_transmit_time)
 from gps_sdr_tpu.receiver.ct import _eph_to_struct, first_subframe_sample
+from gps_sdr_tpu.utils.device import on_host_cpu
 from gps_sdr_tpu.tracking import TrackRecords
 
 
@@ -72,6 +73,7 @@ class NavSolutionsKF:
     transmit_time: np.ndarray     # (E,N)
 
 
+@on_host_cpu
 def run_ct_positioning_kf(records: TrackRecords, cfg: ReceiverConfig,
                           prns: Sequence[int],
                           eph: Dict[int, EphemerisRecord],

@@ -792,11 +792,15 @@ def run_vector_tracking(source: IFSampleSource, cfg: ReceiverConfig,
     pos = cat["total_state"][:, :3]
     vel = cat["total_state"][:, 3:6]
     anchor = np.asarray(init_pos_ecef)
-    enu = np.asarray(xyz2enu(pos, anchor))
-    # ENU velocity by rotation at the anchor (the reference rotates at
-    # cnslxyz, trackingVT_POS_updated.m:408-415; up-positive here)
-    vel_enu = np.asarray(xyz2enu(anchor[None, :] + vel, anchor))
-    llh = np.asarray(xyz2llh(pos))
+    # coordinate transforms on the HOST CPU (utils/device.py: f64 math
+    # between device scans must not dispatch to the hosted TPU backend)
+    from gps_sdr_tpu.utils.device import host_epoch_device
+    with host_epoch_device():
+        enu = np.asarray(xyz2enu(pos, anchor))
+        # ENU velocity by rotation at the anchor (the reference rotates
+        # at cnslxyz, trackingVT_POS_updated.m:408-415; up-positive here)
+        vel_enu = np.asarray(xyz2enu(anchor[None, :] + vel, anchor))
+        llh = np.asarray(xyz2llh(pos))
     llh = np.stack([np.rad2deg(llh[:, 0]), np.rad2deg(llh[:, 1]),
                     llh[:, 2]], axis=-1)
     sol = VTSolutions(
