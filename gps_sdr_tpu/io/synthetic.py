@@ -270,7 +270,6 @@ class GeometrySignal:
             bits_pm[i, :len(b)] = 1.0 - 2.0 * b.astype(np.float32)
 
         k = jnp.arange(spm, dtype=jnp.float64)
-        kf = jnp.arange(spm, dtype=jnp.float32)
 
         @jax.jit
         def synth(c0, dc, p0, dp, key):
@@ -301,7 +300,6 @@ class GeometrySignal:
                             ).astype(jnp.int8 if dtype == np.int8
                                      else jnp.int16)
 
-        _ = kf
         key0 = jax.random.PRNGKey(seed)
         with open(path, "wb") as f:
             for ms in range(0, duration_ms, chunk_ms):
