@@ -317,7 +317,14 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
 
         # --- per-channel block length & transmit-time advance ---
         step_chips = st.code_freq / fs
-        num = jnp.ceil((n_chips - st.rem_chip) / step_chips).astype(jnp.int64)
+        # clip: a diverged code NCO must not produce a block length
+        # outside the fixed window (legitimate num is always ≤ blk−196;
+        # an unclipped garbage value would corrupt ptr/transmit-time
+        # for the rest of the run instead of letting the C/N0 gate
+        # drop the channel)
+        num = jnp.clip(
+            jnp.ceil((n_chips - st.rem_chip) / step_chips),
+            1.0, float(blk)).astype(jnp.int64)
         tt = st.transmit_time + num.astype(jnp.float64) / fs
 
         # --- predicted pseudorange: head value + f32 delta terms
@@ -464,7 +471,21 @@ def vt_scan(raw, chunk_start, state: VTState, chip_tables, eph: Ephemeris,
         else:
             PHt = P @ H.T
             S = H @ PHt + jnp.diag(r_used)
-            K = jax.scipy.linalg.solve(S, PHt.T, assume_a="pos").T
+            # Jacobi-scaled LU gain solve.  Two hosted-TPU findings from
+            # the e2e chip run (CPU/LAPACK was never affected):
+            # - the f32 Cholesky (assume_a="pos") fused inside this scan
+            #   returns NaN gains at the ~1e7-conditioned warm-start S,
+            #   even though the identical solve is finite in isolation —
+            #   jnp.linalg.solve's partial-pivoting LU is robust there;
+            # - symmetric diagonal scaling S̃ = D^{-1/2}·S·D^{-1/2}
+            #   equalizes the ~1e5 m² pseudorange rows against the
+            #   ~1e-1 (m/s)² rate rows, keeping the f32 factorization
+            #   accurate.  K = PHt·D^{-1/2}·S̃⁻¹·D^{-1/2} is the same
+            #   linear system, just well-scaled.
+            dsc = jax.lax.rsqrt(jnp.diagonal(S))
+            S_t = S * dsc[:, None] * dsc[None, :]
+            K = (jnp.linalg.solve(S_t, (PHt * dsc[None, :]).T).T
+                 * dsc[None, :])
             err = K @ z
             # Joseph-form covariance update: (I−KH)P(I−KH)ᵀ + K·R·Kᵀ
             # stays positive-semidefinite under f32 round-off, where the
