@@ -744,15 +744,13 @@ def run_vector_tracking(source: IFSampleSource, cfg: ReceiverConfig,
             state, chip_tables, eph_struct, mesh.size)
         sharded_fns: Dict[int, object] = {}
 
-    import functools
-
     from gps_sdr_tpu.io.ifdata import ChunkPrefetcher
 
-    read = functools.partial(
-        source.read_iq_planes if replica == "pallas"
-        else source.read_iq_pairs, remove_dc=False)
-    prefetcher = ChunkPrefetcher(
-        read, slice_axis=1 if replica == "pallas" else 0)
+    from gps_sdr_tpu.tracking import _stage_raw
+
+    # host ships native ints; cast + layout happen on device (_stage_raw)
+    layout = "rows" if replica == "pallas" else "pairs"
+    prefetcher = ChunkPrefetcher(source.read_iq_values, slice_axis=0)
     recs: Dict[str, list] = {}
     done = 0
     try:
@@ -765,10 +763,8 @@ def run_vector_tracking(source: IFSampleSource, cfg: ReceiverConfig,
                 # in-kernel-DMA layout: (2, R, 128) plane-rows with
                 # prediction/row slack (ops/pallas_track.correlator_bank_hbm)
                 length = -(-(length + 2048) // 128) * 128
-                raw = jnp.asarray(
-                    prefetcher.fetch(ptr_min, length).reshape(2, -1, 128))
-            else:
-                raw = jnp.asarray(prefetcher.fetch(ptr_min, length))
+            raw = _stage_raw(jnp.asarray(prefetcher.fetch(ptr_min, length)),
+                             layout)
             if use_mesh:
                 fn = sharded_fns.get(nb)
                 if fn is None:

@@ -153,6 +153,20 @@ class TrackParams:
         return TrackParams(**defaults)
 
 
+@functools.partial(jax.jit, static_argnames=("layout",))
+def _stage_raw(raw_vals: jnp.ndarray, layout: str) -> jnp.ndarray:
+    """Device-side staging of raw interleaved int IQ values (L, 2):
+    int→f32 cast plus the layout the selected engine wants — "pairs"
+    (L, 2), "planes" (2, L), or "rows" (2, L/128, 128).  Run on device
+    so the host ships native int8/int16 (io/ifdata.read_iq_values)."""
+    x = raw_vals.astype(jnp.float32)
+    if layout == "pairs":
+        return x
+    if layout == "planes":
+        return x.T
+    return x.T.reshape(2, -1, 128)
+
+
 def resolve_replica(mode: str) -> str:
     """"auto" → the whole-chunk fused kernel on TPU (ops/pallas_track.py
     — the entire DLL/PLL loop in one dispatch per chunk, ~2× the
@@ -593,17 +607,17 @@ def run_tracking(source: IFSampleSource, cfg: ReceiverConfig, prns,
         state, chip_tables, n_pad = pad_channels(state, chip_tables,
                                                  mesh.size)
         sharded_fns: Dict[int, object] = {}
-    use_planes = params.replica in ("pallas", "fused")
-    read_fn = functools.partial(
-        source.read_iq_planes if use_planes else source.read_iq_pairs,
-        remove_dc=False)
+    layout = {"pallas": "planes", "fused": "rows"}.get(params.replica,
+                                                       "pairs")
+    # host ships the native ints; the cast + layout happen on device
+    # (_stage_raw) — host→device traffic was the measured e2e bottleneck
+    read_fn = source.read_iq_values
     # overlap the next chunk's host-side read with the device scan of
     # the current one (the scan dispatch is async; SURVEY.md §2.9 PP)
     prefetcher = None
     if not per_channel_io:
         from gps_sdr_tpu.io.ifdata import ChunkPrefetcher
-        prefetcher = ChunkPrefetcher(read_fn,
-                                     slice_axis=1 if use_planes else 0)
+        prefetcher = ChunkPrefetcher(read_fn, slice_axis=0)
     parts = []
     done = 0
     try:
@@ -625,7 +639,8 @@ def run_tracking(source: IFSampleSource, cfg: ReceiverConfig, prns,
                 length = (ptr_max - ptr_min) + win
                 if use_fused:              # plane-rows layout (2, R, 128)
                     length = -(-length // 128) * 128
-                raw = jnp.asarray(prefetcher.fetch(ptr_min, length))
+                raw = _stage_raw(jnp.asarray(prefetcher.fetch(
+                    ptr_min, length)), layout)
                 start = jnp.int64(ptr_min)
             if use_fused:
                 from gps_sdr_tpu.ops.pallas_track import (
@@ -640,7 +655,7 @@ def run_tracking(source: IFSampleSource, cfg: ReceiverConfig, prns,
                                           params.pll_gain)
                 scal_i, scal_f = pack_state(state, cfb, fs, start)
                 packed = fused_track_chunk(
-                    raw.reshape(2, -1, 128), scal_i, scal_f, chip_tables,
+                    raw, scal_i, scal_f, chip_tables,
                     n_steps=nb, blk=blk, ntaps=len(params.taps),
                     taps=params.taps,
                     epl=(params.i_early, params.i_prompt, params.i_late),
